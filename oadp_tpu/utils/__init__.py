@@ -1,0 +1,18 @@
+from .config import Config, DictAction, parse_override
+from .logging import add_file_handler, logger
+from .pth import PthAccessLayer, load_pth, save_pth
+from .registry import Registry
+from .store import Store
+
+__all__ = [
+    'Config',
+    'DictAction',
+    'parse_override',
+    'add_file_handler',
+    'logger',
+    'PthAccessLayer',
+    'load_pth',
+    'save_pth',
+    'Registry',
+    'Store',
+]
