@@ -1,0 +1,513 @@
+"""CLIP ViT-B/32 as pure-functional JAX, designed for TPU.
+
+Replaces the reference's external CLIP fork (``clip.load_default`` at
+reference ``oadp/oake/globals.py:47``, ``oadp/oake/blocks.py:123``,
+``oadp/oake/objects.py:290``) with an in-repo implementation:
+
+* parameters are a plain pytree of ``jnp`` arrays (functional, jit/vmap
+  friendly; no module framework);
+* compute is laid out for the MXU: patch embedding as one big matmul,
+  fused QKV projection, batched attention over padded static shapes;
+* a *surgery* variant (:func:`image_encoder_surgery`) implements the
+  masked attention-pool dual stream that the reference builds with five
+  forward hooks (``oadp/oake/objects.py:198-314``) as an explicit model;
+* the text encoder mirrors OpenAI CLIP for prompt building
+  (reference ``oadp/prompts/vild.py:56-72``).
+
+Weight layout follows the OpenAI ``ViT-B-32.pt`` state dict so that
+:func:`convert_torch_state_dict` is a pure renaming/transposition.
+"""
+
+__all__ = [
+    'ViTConfig',
+    'TextConfig',
+    'CLIP_MEAN',
+    'CLIP_STD',
+    'init_vit_params',
+    'init_text_params',
+    'image_encoder',
+    'image_encoder_surgery',
+    'text_encoder',
+    'upsample_vit_params',
+    'convert_torch_state_dict',
+]
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# CLIP preprocessing constants (OpenAI CLIP `_transform`).
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """ViT-B/32 image encoder geometry.
+
+    ``stride < patch_size`` realises the reference's model surgery
+    (half-stride conv1 + interpolated positional embedding,
+    ``oadp/oake/objects.py:293-301``) without mutating the module.
+    """
+    image_size: int = 224
+    patch_size: int = 32
+    stride: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 512
+
+    @property
+    def grid(self) -> int:
+        if self.stride == self.patch_size:
+            return self.image_size // self.patch_size
+        # conv padding (patch_size - 1) // 2, per reference surgery
+        pad = (self.patch_size - 1) // 2
+        return (self.image_size + 2 * pad - self.patch_size) // self.stride + 1
+
+    @property
+    def tokens(self) -> int:
+        return self.grid * self.grid + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    output_dim: int = 512
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (matches OpenAI CLIP shapes; random init is used
+# only by tests — real runs convert the pretrained torch state dict).
+# ---------------------------------------------------------------------------
+
+
+def _init_block(key: jax.Array, width: int, dtype) -> Params:
+    k = jax.random.split(key, 4)
+    mlp_width = width * 4
+    s = width**-0.5
+    return {
+        'ln_1': {'scale': jnp.ones(width, dtype), 'bias': jnp.zeros(width, dtype)},
+        'ln_2': {'scale': jnp.ones(width, dtype), 'bias': jnp.zeros(width, dtype)},
+        'attn': {
+            'qkv_w': (jax.random.normal(k[0], (width, 3 * width)) * s).astype(dtype),
+            'qkv_b': jnp.zeros(3 * width, dtype),
+            'out_w': (jax.random.normal(k[1], (width, width)) * s).astype(dtype),
+            'out_b': jnp.zeros(width, dtype),
+        },
+        'mlp': {
+            'fc_w': (jax.random.normal(k[2], (width, mlp_width)) * s).astype(dtype),
+            'fc_b': jnp.zeros(mlp_width, dtype),
+            'proj_w': (jax.random.normal(k[3], (mlp_width, width)) * s).astype(dtype),
+            'proj_b': jnp.zeros(width, dtype),
+        },
+    }
+
+
+def init_vit_params(
+    key: jax.Array,
+    config: ViTConfig = ViTConfig(),
+    dtype=jnp.float32,
+) -> Params:
+    keys = jax.random.split(key, config.layers + 4)
+    scale = config.width**-0.5
+    grid = config.image_size // config.patch_size
+    return {
+        'conv1': (
+            jax.random.normal(
+                keys[0],
+                (config.patch_size, config.patch_size, 3, config.width),
+            ) * scale
+        ).astype(dtype),
+        'class_embedding':
+            (jax.random.normal(keys[1], (config.width,)) * scale).astype(dtype),
+        'positional_embedding': (
+            jax.random.normal(keys[2], (grid * grid + 1, config.width)) * scale
+        ).astype(dtype),
+        'ln_pre': {
+            'scale': jnp.ones(config.width, dtype),
+            'bias': jnp.zeros(config.width, dtype),
+        },
+        'ln_post': {
+            'scale': jnp.ones(config.width, dtype),
+            'bias': jnp.zeros(config.width, dtype),
+        },
+        'proj': (
+            jax.random.normal(keys[3], (config.width, config.output_dim)) * scale
+        ).astype(dtype),
+        'blocks': [
+            _init_block(keys[4 + i], config.width, dtype)
+            for i in range(config.layers)
+        ],
+    }
+
+
+def init_text_params(
+    key: jax.Array,
+    config: TextConfig = TextConfig(),
+    dtype=jnp.float32,
+) -> Params:
+    keys = jax.random.split(key, config.layers + 4)
+    return {
+        'token_embedding': (
+            jax.random.normal(keys[0], (config.vocab_size, config.width)) * 0.02
+        ).astype(dtype),
+        'positional_embedding': (
+            jax.random.normal(keys[1], (config.context_length, config.width))
+            * 0.01
+        ).astype(dtype),
+        'ln_final': {
+            'scale': jnp.ones(config.width, dtype),
+            'bias': jnp.zeros(config.width, dtype),
+        },
+        'text_projection': (
+            jax.random.normal(keys[2], (config.width, config.output_dim))
+            * config.width**-0.5
+        ).astype(dtype),
+        'blocks': [
+            _init_block(keys[4 + i], config.width, dtype)
+            for i in range(config.layers)
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm in fp32 regardless of activation dtype (CLIP semantics)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = x.mean(-1, keepdims=True)
+    var = jnp.square(x - mean).mean(-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p['scale'].astype(jnp.float32)
+            + p['bias'].astype(jnp.float32)).astype(dtype)
+
+
+def _attention(
+    x: jax.Array,
+    p: Params,
+    heads: int,
+    q_tokens: jax.Array | None = None,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Multi-head attention with fused QKV.
+
+    Args:
+        x: ``(B, N, D)`` key/value token stream.
+        q_tokens: optional ``(B, M, D)`` query stream (defaults to ``x``).
+        bias: optional additive attention bias, broadcastable to
+            ``(B, heads, M, N)``.
+    """
+    B, N, D = x.shape
+    head_dim = D // heads
+    qkv_w = p['qkv_w']
+    qkv_b = p['qkv_b']
+
+    kv = x @ qkv_w[:, D:] + qkv_b[D:]
+    q_in = x if q_tokens is None else q_tokens
+    q = q_in @ qkv_w[:, :D] + qkv_b[:D]
+    k, v = jnp.split(kv, 2, axis=-1)
+
+    M = q.shape[1]
+    q = q.reshape(B, M, heads, head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(B, N, heads, head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(B, N, heads, head_dim).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / math.sqrt(head_dim)
+    logits = jnp.einsum(
+        'bhmd,bhnd->bhmn', q * scale, k, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        logits = logits + bias
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum('bhmn,bhnd->bhmd', weights, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, M, D)
+    return out @ p['out_w'] + p['out_b']
+
+
+def _quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _mlp(x: jax.Array, p: Params) -> jax.Array:
+    return _quick_gelu(x @ p['fc_w'] + p['fc_b']) @ p['proj_w'] + p['proj_b']
+
+
+def _block(
+    x: jax.Array,
+    p: Params,
+    heads: int,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    x = x + _attention(_layer_norm(x, p['ln_1']), p['attn'], heads, bias=bias)
+    x = x + _mlp(_layer_norm(x, p['ln_2']), p['mlp'])
+    return x
+
+
+def _embed_patches(
+    images: jax.Array,
+    params: Params,
+    config: ViTConfig,
+) -> jax.Array:
+    """Patchify + linear embed + CLS + positional embedding.
+
+    ``images``: ``(B, H, W, 3)``, already CLIP-normalized, NHWC (TPU-native
+    layout). Returns ``(B, tokens, width)``.
+    """
+    w = params['conv1'].reshape(-1, config.width)  # (P*P*3, D)
+    if config.stride == config.patch_size:
+        B, H, W, _ = images.shape
+        g = H // config.patch_size
+        patches = images.reshape(
+            B, g, config.patch_size, g, config.patch_size, 3
+        ).transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, -1)
+        x = patches @ w
+    else:
+        x = jax.lax.conv_general_dilated(
+            images,
+            params['conv1'],
+            window_strides=(config.stride, config.stride),
+            padding=[((config.patch_size - 1) // 2,) * 2] * 2,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        )
+        x = x.reshape(x.shape[0], -1, config.width)
+
+    cls = jnp.broadcast_to(
+        params['class_embedding'].astype(x.dtype),
+        (x.shape[0], 1, config.width),
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    return x + params['positional_embedding'].astype(x.dtype)
+
+
+def image_encoder(
+    params: Params,
+    images: jax.Array,
+    config: ViTConfig = ViTConfig(),
+) -> jax.Array:
+    """Stock CLIP image encoder: ``(B, H, W, 3)`` → ``(B, output_dim)``.
+
+    Equivalent of ``model.encode_image`` used by the globals/blocks
+    pipelines (reference ``oadp/oake/globals.py:57``,
+    ``oadp/oake/blocks.py:129``).
+    """
+    x = _embed_patches(images, params, config)
+    x = _layer_norm(x, params['ln_pre'])
+    for block in params['blocks']:
+        x = _block(x, block, config.heads)
+    x = _layer_norm(x[:, 0], params['ln_post'])
+    return x @ params['proj']
+
+
+def image_encoder_surgery(
+    params: Params,
+    images: jax.Array,
+    masks: jax.Array,
+    config: ViTConfig = ViTConfig(stride=16),
+) -> jax.Array:
+    """Masked attention-pool CLIP encoder (the OAKE-objects model).
+
+    Explicit dual-stream re-design of the reference's hook construction
+    (``oadp/oake/objects.py:198-266``):
+
+    * the **main stream** ``x`` (CLS + patches) evolves through standard
+      *unmasked* self-attention — identical to the stock encoder;
+    * a **side stream** ``y`` starts as the CLS token and, per block,
+      attends over ``ln_1([patches, y])`` with an additive bias of
+      ``-100`` on background patches (``mask==1``), then passes through
+      its own residual MLP;
+    * the final embedding is ``ln_post(y) @ proj``.
+
+    Args:
+        images: ``(B, H, W, 3)`` normalized crops.
+        masks: ``(B, g, g)`` background masks — 1 for background, 0 for
+            the object (reference ``oadp/oake/objects.py:129-155``).
+    """
+    x = _embed_patches(images, params, config)
+    x = _layer_norm(x, params['ln_pre'])
+
+    B = x.shape[0]
+    n_patches = config.grid * config.grid
+    # (B, 1, 1, n_patches + 1) additive bias; broadcast over heads/queries.
+    # Reference appends a zero column for y itself
+    # (``oadp/oake/objects.py:209-213``).
+    bias = jnp.concatenate(
+        [
+            masks.reshape(B, n_patches).astype(jnp.float32) * -100.0,
+            jnp.zeros((B, 1), jnp.float32),
+        ],
+        axis=-1,
+    )[:, None, None, :]
+
+    y = x[:, :1]
+    for block in params['blocks']:
+        # Side stream: q = y, kv = [patches of x, y] after shared ln_1
+        # (reference ``oadp/oake/objects.py:238-245``).
+        kv = _layer_norm(
+            jnp.concatenate([x[:, 1:], y], axis=1), block['ln_1']
+        )
+        y = y + _attention(
+            kv,
+            block['attn'],
+            config.heads,
+            q_tokens=kv[:, -1:],
+            bias=bias,
+        )
+        y = y + _mlp(_layer_norm(y, block['ln_2']), block['mlp'])
+        # Main stream: standard unmasked block.
+        x = _block(x, block, config.heads)
+
+    y = _layer_norm(y[:, 0], params['ln_post'])
+    return y @ params['proj']
+
+
+def text_encoder(
+    params: Params,
+    tokens: jax.Array,
+    config: TextConfig = TextConfig(),
+) -> jax.Array:
+    """CLIP text encoder: ``(B, context)`` int tokens → ``(B, output_dim)``.
+
+    Uses the causal mask and takes features at the argmax (EOT) token,
+    matching OpenAI CLIP ``encode_text``.
+    """
+    x = params['token_embedding'][tokens]
+    x = x + params['positional_embedding'][None, :x.shape[1]]
+    n = x.shape[1]
+    causal = jnp.triu(jnp.full((n, n), -jnp.inf, jnp.float32), k=1)
+    for block in params['blocks']:
+        x = _block(x, block, config.heads, bias=causal[None, None])
+    x = _layer_norm(x, params['ln_final'])
+    eot = tokens.argmax(-1)
+    x = x[jnp.arange(x.shape[0]), eot]
+    return x @ params['text_projection']
+
+
+# ---------------------------------------------------------------------------
+# Surgery: positional-embedding upsampling
+# ---------------------------------------------------------------------------
+
+
+def upsample_vit_params(
+    params: Params,
+    config: ViTConfig = ViTConfig(),
+    upsample: int = 2,
+) -> tuple[Params, ViTConfig]:
+    """Interpolate the positional embedding to a ``upsample``× denser grid
+    and halve the patch stride (reference ``oadp/oake/objects.py:293-301``,
+    ``interpolate_positional_embedding``: bicubic on the spatial part)."""
+    grid = config.image_size // config.patch_size
+    new_grid = grid * upsample
+    pe = params['positional_embedding']
+    cls_pe, patch_pe = pe[:1], pe[1:]
+    patch_pe = patch_pe.reshape(grid, grid, -1)
+    patch_pe = jax.image.resize(
+        patch_pe,
+        (new_grid, new_grid, patch_pe.shape[-1]),
+        method='bicubic',
+    )
+    new_pe = jnp.concatenate(
+        [cls_pe, patch_pe.reshape(new_grid * new_grid, -1)]
+    )
+    new_params = dict(params)
+    new_params['positional_embedding'] = new_pe
+    new_config = dataclasses.replace(
+        config, stride=config.patch_size // upsample
+    )
+    assert new_config.grid == new_grid
+    return new_params, new_config
+
+
+# ---------------------------------------------------------------------------
+# Weight conversion from the OpenAI / reference torch state dict
+# ---------------------------------------------------------------------------
+
+
+def convert_torch_state_dict(
+    state: dict[str, np.ndarray],
+    prefix_visual: str = 'visual.',
+    dtype=np.float32,
+) -> tuple[Params, Params]:
+    """Convert an OpenAI CLIP state dict (numpy arrays) to (vit, text) params.
+
+    Torch ``nn.Linear`` stores ``(out, in)`` weights; JAX matmuls here use
+    ``(in, out)`` — so linear weights are transposed. ``conv1`` is
+    ``(D, 3, P, P)`` → ``(P, P, 3, D)`` (HWIO).
+    """
+
+    def a(name):
+        return np.asarray(state[name], dtype=dtype)
+
+    def block(p):
+        return {
+            'ln_1': {'scale': a(f'{p}.ln_1.weight'), 'bias': a(f'{p}.ln_1.bias')},
+            'ln_2': {'scale': a(f'{p}.ln_2.weight'), 'bias': a(f'{p}.ln_2.bias')},
+            'attn': {
+                'qkv_w': a(f'{p}.attn.in_proj_weight').T,
+                'qkv_b': a(f'{p}.attn.in_proj_bias'),
+                'out_w': a(f'{p}.attn.out_proj.weight').T,
+                'out_b': a(f'{p}.attn.out_proj.bias'),
+            },
+            'mlp': {
+                'fc_w': a(f'{p}.mlp.c_fc.weight').T,
+                'fc_b': a(f'{p}.mlp.c_fc.bias'),
+                'proj_w': a(f'{p}.mlp.c_proj.weight').T,
+                'proj_b': a(f'{p}.mlp.c_proj.bias'),
+            },
+        }
+
+    v = prefix_visual
+    vit_prefix = f'{v}transformer.resblocks.'
+    n_vit = max(
+        int(k[len(vit_prefix):].split('.')[0]) for k in state
+        if k.startswith(vit_prefix)
+    ) + 1
+    vit = {
+        'conv1': a(f'{v}conv1.weight').transpose(2, 3, 1, 0),
+        'class_embedding': a(f'{v}class_embedding'),
+        'positional_embedding': a(f'{v}positional_embedding'),
+        'ln_pre': {
+            'scale': a(f'{v}ln_pre.weight'), 'bias': a(f'{v}ln_pre.bias')
+        },
+        'ln_post': {
+            'scale': a(f'{v}ln_post.weight'), 'bias': a(f'{v}ln_post.bias')
+        },
+        'proj': a(f'{v}proj'),
+        'blocks': [
+            block(f'{v}transformer.resblocks.{i}') for i in range(n_vit)
+        ],
+    }
+
+    text: Params = {}
+    if 'token_embedding.weight' in state:
+        text_prefix = 'transformer.resblocks.'
+        n_text = max(
+            int(k[len(text_prefix):].split('.')[0]) for k in state
+            if k.startswith(text_prefix)
+        ) + 1
+        text = {
+            'token_embedding': a('token_embedding.weight'),
+            'positional_embedding': a('positional_embedding'),
+            'ln_final': {
+                'scale': a('ln_final.weight'), 'bias': a('ln_final.bias')
+            },
+            'text_projection': a('text_projection'),
+            'blocks': [
+                block(f'transformer.resblocks.{i}') for i in range(n_text)
+            ],
+        }
+    return jax.tree.map(jnp.asarray, vit), jax.tree.map(jnp.asarray, text)
