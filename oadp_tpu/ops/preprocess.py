@@ -1,0 +1,246 @@
+"""CLIP preprocessing fused into the XLA graph, bit-faithful to PIL.
+
+The reference preprocesses on the host with PIL + torchvision
+(``clip`` fork's transform; crops at ``oadp/oake/objects.py:116-127``,
+pyramid at ``oadp/oake/blocks.py:54-77``) — a per-proposal Python hot
+loop (SURVEY.md §3.1). Here the host only computes tiny per-crop
+*resample weight matrices*; the pixel work (crop → bicubic resize →
+center-crop → normalize) runs on the TPU as two MXU matmuls per crop.
+
+Faithfulness: PIL resizes 8-bit images in two passes (horizontal then
+vertical), quantizes weights to 22-bit fixed point, and rounds each pass
+back to uint8 (``clip8`` in Pillow's Resample.c). We replicate:
+
+* bicubic kernel with a = -0.5, support 2, antialias scaling;
+* window clipping to the *crop* bounds with renormalization, while taps
+  outside the *image* contribute zeros (PIL crop zero-pads);
+* weight quantization to ``round(w * 2**22) / 2**22``;
+* per-pass ``clip(floor(x + 0.5), 0, 255)`` rounding;
+* PIL ``crop`` box rounding (Python banker's rounding per coordinate);
+* torchvision ``Resize(shorter=n)`` (``int()`` truncation for the long
+  side) and ``CenterCrop`` offsets (banker's rounding).
+
+All weight matrices are padded to a static image size so XLA compiles
+one program regardless of crop geometry.
+"""
+
+__all__ = [
+    'PRECISION_BITS',
+    'resample_coeffs',
+    'resize_matrix',
+    'clip_transform_matrices',
+    'plain_resize_matrices',
+    'apply_resize_pair',
+    'normalize_clip',
+    'round_u8',
+]
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.clip import CLIP_MEAN, CLIP_STD
+
+PRECISION_BITS = 22  # Pillow: 32 - 8 - 2
+
+
+def _bicubic(x: np.ndarray) -> np.ndarray:
+    """Pillow's bicubic filter (a = -0.5, support 2)."""
+    a = -0.5
+    ax = np.abs(x)
+    out = np.where(
+        ax < 1,
+        ((a + 2) * ax - (a + 3)) * ax * ax + 1,
+        np.where(
+            ax < 2,
+            (((ax - 5) * ax + 8) * ax - 4) * a,
+            0.0,
+        ),
+    )
+    return out
+
+
+def resample_coeffs(
+    in_size: float,
+    in0: float,
+    in1: float,
+    out_size: int,
+    quantize: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-output-pixel resample windows, exactly as Pillow computes them.
+
+    Mirrors ``precompute_coeffs`` in Pillow's Resample.c for the bicubic
+    filter. Returns ``(xmin, weights)`` where ``xmin`` is ``(out,)`` int
+    window starts (in crop coordinates) and ``weights`` is
+    ``(out, max_taps)`` with zero padding.
+    """
+    support0 = 2.0
+    scale = (in1 - in0) / out_size
+    filterscale = max(scale, 1.0)
+    support = support0 * filterscale
+    ksize = int(math.ceil(support)) * 2 + 1
+
+    xx = np.arange(out_size)
+    center = in0 + (xx + 0.5) * scale
+    xmin = np.clip((center - support + 0.5).astype(np.int64), 0, None)
+    xmax = np.minimum(
+        (center + support + 0.5).astype(np.int64), int(in_size)
+    ) - xmin
+
+    taps = np.arange(ksize)
+    # (out, ksize) tap positions relative to window start
+    pos = (taps[None] + xmin[:, None] - center[:, None] + 0.5) / filterscale
+    w = _bicubic(pos)
+    w[taps[None] >= xmax[:, None]] = 0.0
+    ww = w.sum(-1, keepdims=True)
+    ww[ww == 0] = 1.0
+    w = w / ww
+    if quantize:
+        half = 0.5 * np.sign(w)
+        w = np.trunc(w * (1 << PRECISION_BITS) + half) / (1 << PRECISION_BITS)
+    return xmin, w
+
+
+def resize_matrix(
+    image_size: int,
+    crop0: float,
+    crop1: float,
+    out_size: int,
+    pad_size: int,
+    quantize: bool = True,
+) -> np.ndarray:
+    """Dense ``(out_size, pad_size)`` resample matrix in *image* pixel space.
+
+    ``crop0:crop1`` is the (already-rounded, possibly out-of-bounds) crop
+    window along this axis; taps outside the image are dropped, which is
+    exactly PIL's zero-fill crop followed by resize.
+    """
+    in_size = crop1 - crop0
+    xmin, w = resample_coeffs(in_size, 0.0, float(in_size), out_size, quantize)
+    out = np.zeros((out_size, pad_size), np.float32)
+    n_taps = w.shape[1]
+    rows = np.repeat(np.arange(out_size), n_taps)
+    cols = (xmin[:, None] + np.arange(n_taps)[None]).ravel() + int(crop0)
+    vals = w.ravel()
+    ok = (cols >= 0) & (cols < image_size) & (vals != 0)
+    out[rows[ok], cols[ok]] = vals[ok].astype(np.float32)
+    return out
+
+
+def _round_half_even(x: float) -> int:
+    return int(round(x))
+
+
+def clip_transform_matrices(
+    image_w: int,
+    image_h: int,
+    crop_box: tuple[float, float, float, float] | None,
+    pad_w: int,
+    pad_h: int,
+    out: int = 224,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Weights for CLIP preprocess: crop → Resize(shorter=out) → CenterCrop.
+
+    Returns ``(Wx, Wy)`` of shapes ``(out, pad_w)`` / ``(out, pad_h)``.
+    """
+    if crop_box is None:
+        x0, y0, x1, y1 = 0, 0, image_w, image_h
+    else:
+        x0, y0, x1, y1 = (_round_half_even(v) for v in crop_box)
+    cw, ch = x1 - x0, y1 - y0
+    if cw <= 0 or ch <= 0:
+        raise ValueError(f'empty crop {crop_box}')
+
+    # torchvision Resize(shorter_side=out)
+    if cw <= ch:
+        ow, oh = out, int(out * ch / cw)
+    else:
+        ow, oh = int(out * cw / ch), out
+    # PIL skips resampling entirely when the size is unchanged
+    identity = (ow, oh) == (cw, ch)
+
+    # torchvision CenterCrop(out)
+    left = _round_half_even((ow - out) / 2.0)
+    top = _round_half_even((oh - out) / 2.0)
+
+    if identity:
+        wx = np.zeros((out, pad_w), np.float32)
+        cols = np.arange(out) + x0 + left
+        ok = (cols >= 0) & (cols < image_w)
+        wx[np.arange(out)[ok], cols[ok]] = 1.0
+        wy = np.zeros((out, pad_h), np.float32)
+        rows_idx = np.arange(out) + y0 + top
+        ok = (rows_idx >= 0) & (rows_idx < image_h)
+        wy[np.arange(out)[ok], rows_idx[ok]] = 1.0
+        return wx, wy
+
+    wx = resize_matrix(image_w, x0, x1, ow, pad_w)[left:left + out]
+    wy = resize_matrix(image_h, y0, y1, oh, pad_h)[top:top + out]
+    return wx, wy
+
+
+def plain_resize_matrices(
+    image_w: int,
+    image_h: int,
+    out_w: int,
+    out_h: int,
+    pad_w: int,
+    pad_h: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Weights for plain ``PIL.Image.resize((out_w, out_h))`` (pyramid levels,
+    reference ``oadp/oake/blocks.py:72-76``)."""
+    wx = resize_matrix(image_w, 0, image_w, out_w, pad_w)
+    wy = resize_matrix(image_h, 0, image_h, out_h, pad_h)
+    return wx, wy
+
+
+# ---------------------------------------------------------------------------
+# Device side
+# ---------------------------------------------------------------------------
+
+
+def round_u8(x: jax.Array) -> jax.Array:
+    """Pillow ``clip8``: round-half-up then clamp to [0, 255]."""
+    return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnames=('skip_round',))
+def apply_resize_pair(
+    image: jax.Array,
+    wx: jax.Array,
+    wy: jax.Array,
+    skip_round: bool = False,
+) -> jax.Array:
+    """Two-pass PIL resize on device.
+
+    Args:
+        image: ``(PH, PW, 3)`` float32 pixel values in [0, 255].
+        wx: ``(..., OW, PW)`` horizontal weights (leading batch dims OK).
+        wy: ``(..., OH, PH)`` vertical weights with the same batch dims.
+
+    Returns:
+        ``(..., OH, OW, 3)`` float32 in [0, 255], rounded per pass like
+        PIL's 8-bit path (unless ``skip_round``).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    # Horizontal pass: contract over image columns.
+    t = jnp.einsum('...ow,hwc->...hoc', wx, image, precision=hi)
+    if not skip_round:
+        t = round_u8(t)
+    # Vertical pass: contract over image rows.
+    out = jnp.einsum('...eh,...hoc->...eoc', wy, t, precision=hi)
+    if not skip_round:
+        out = round_u8(out)
+    return out
+
+
+_MEAN = np.asarray(CLIP_MEAN, np.float32) * 255.0
+_STD = np.asarray(CLIP_STD, np.float32) * 255.0
+
+
+def normalize_clip(pixels: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """``ToTensor`` + CLIP ``Normalize`` on [0,255] pixel values."""
+    return ((pixels - _MEAN) / _STD).astype(dtype)

@@ -1,0 +1,112 @@
+"""PIL-bit-faithfulness of the fused TPU preprocessing (SURVEY.md §7.3)."""
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from oadp_tpu.ops import preprocess as pp
+
+
+def _pil_clip_transform(img: PIL.Image.Image, crop_box, out=224):
+    """Oracle: PIL crop → torchvision Resize(shorter=out) → CenterCrop."""
+    if crop_box is not None:
+        img = img.crop(crop_box)
+    w, h = img.size
+    if w <= h:
+        ow, oh = out, int(out * h / w)
+    else:
+        ow, oh = int(out * w / h), out
+    if (ow, oh) != (w, h):
+        img = img.resize((ow, oh), PIL.Image.BICUBIC)
+    left = int(round((ow - out) / 2.0))
+    top = int(round((oh - out) / 2.0))
+    img = img.crop((left, top, left + out, top + out))
+    return np.asarray(img, np.float32)
+
+
+def _run_ours(image_np, crop_box, pad=768):
+    h, w = image_np.shape[:2]
+    wx, wy = pp.clip_transform_matrices(w, h, crop_box, pad, pad)
+    padded = np.zeros((pad, pad, 3), np.float32)
+    padded[:h, :w] = image_np
+    return np.asarray(pp.apply_resize_pair(padded, wx, wy))
+
+
+@pytest.fixture(scope='module')
+def image():
+    rng = np.random.RandomState(0)
+    return rng.randint(0, 256, (353, 468, 3), np.uint8)
+
+
+def _assert_match(ours, expected, exact_frac=0.999):
+    diff = np.abs(ours - expected)
+    assert diff.max() <= 1.0, f'max diff {diff.max()}'
+    assert (diff == 0).mean() > exact_frac, f'exact {(diff == 0).mean()}'
+
+
+def test_whole_image(image):
+    pil = PIL.Image.fromarray(image)
+    expected = _pil_clip_transform(pil, None)
+    ours = _run_ours(image.astype(np.float32), None)
+    _assert_match(ours, expected)
+
+
+@pytest.mark.parametrize(
+    'crop_box',
+    [
+        (10.3, 20.7, 210.5, 220.9),  # in-bounds, fractional, ~square
+        (-30.0, -15.5, 250.0, 264.5),  # out-of-bounds (PIL zero-pads)
+        (100.5, 50.5, 400.5, 350.5),  # .5 coords (banker's rounding)
+        (300.0, 100.0, 468.0, 268.0),  # touches right edge
+        (5.0, 5.0, 37.0, 37.0),  # small crop, upscale to 224
+    ],
+)
+def test_crop_variants(image, crop_box):
+    pil = PIL.Image.fromarray(image)
+    expected = _pil_clip_transform(pil, crop_box)
+    ours = _run_ours(image.astype(np.float32), crop_box)
+    _assert_match(ours, expected)
+
+
+def test_plain_resize_pyramid_level(image):
+    """The blocks pyramid downscale (reference blocks.py:72-76)."""
+    pil = PIL.Image.fromarray(image)
+    w, h = pil.size
+    w2, h2 = int(w / 1.5), int(h / 1.5)
+    expected = np.asarray(pil.resize((w2, h2)), np.float32)
+
+    pad = 512
+    wx, wy = pp.plain_resize_matrices(w, h, w2, h2, pad, pad)
+    padded = np.zeros((pad, pad, 3), np.float32)
+    padded[:h, :w] = image
+    ours = np.asarray(pp.apply_resize_pair(padded, wx, wy))
+    _assert_match(ours[:h2, :w2], expected)
+
+
+def test_batched_crops(image):
+    """Several crops in one device call (static-shape batching)."""
+    boxes = [(10.0, 10.0, 150.0, 150.0), (200.0, 100.0, 460.0, 340.0)]
+    pad = 512
+    h, w = image.shape[:2]
+    wxs = np.stack([
+        pp.clip_transform_matrices(w, h, b, pad, pad)[0] for b in boxes
+    ])
+    wys = np.stack([
+        pp.clip_transform_matrices(w, h, b, pad, pad)[1] for b in boxes
+    ])
+    padded = np.zeros((pad, pad, 3), np.float32)
+    padded[:h, :w] = image
+    ours = np.asarray(pp.apply_resize_pair(padded, wxs, wys))
+    pil = PIL.Image.fromarray(image)
+    for i, b in enumerate(boxes):
+        _assert_match(ours[i], _pil_clip_transform(pil, b))
+
+
+def test_normalize():
+    import jax.numpy as jnp
+    x = jnp.full((2, 2, 3), 255.0)
+    out = np.asarray(pp.normalize_clip(x))
+    expected = (1.0 - np.asarray(pp._MEAN) / 255) / (
+        np.asarray(pp._STD) / 255
+    ) * np.ones((2, 2, 3))
+    np.testing.assert_allclose(out, expected, rtol=1e-5)
