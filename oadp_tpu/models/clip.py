@@ -402,26 +402,53 @@ def text_encoder(
 # ---------------------------------------------------------------------------
 
 
+def _torch_bicubic_weights(in_size: int, out_size: int) -> np.ndarray:
+    """Dense ``(out, in)`` matrix reproducing ``torch.nn.functional.
+    interpolate(mode='bicubic', align_corners=False)``: cubic convolution
+    with a = -0.75, half-pixel centers, border taps clamped (not
+    renormalized)."""
+    a = -0.75
+
+    def k(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1,
+            ((a + 2) * x - (a + 3)) * x * x + 1,
+            np.where(x < 2, (((x - 5) * x + 8) * x - 4) * a, 0.0),
+        )
+
+    out = np.zeros((out_size, in_size), np.float64)
+    scale = in_size / out_size
+    for i in range(out_size):
+        src = (i + 0.5) * scale - 0.5
+        x0 = math.floor(src)
+        for tap in range(x0 - 1, x0 + 3):
+            out[i, min(max(tap, 0), in_size - 1)] += k(src - tap)
+    return out
+
+
 def upsample_vit_params(
     params: Params,
     config: ViTConfig = ViTConfig(),
     upsample: int = 2,
 ) -> tuple[Params, ViTConfig]:
     """Interpolate the positional embedding to a ``upsample``× denser grid
-    and halve the patch stride (reference ``oadp/oake/objects.py:293-301``,
-    ``interpolate_positional_embedding``: bicubic on the spatial part)."""
+    and halve the patch stride (reference ``oadp/oake/objects.py:293-301``).
+    Uses torch-style bicubic so the result matches the reference fork's
+    ``interpolate_positional_embedding``."""
     grid = config.image_size // config.patch_size
     new_grid = grid * upsample
-    pe = params['positional_embedding']
+    pe = np.asarray(params['positional_embedding'], np.float64)
     cls_pe, patch_pe = pe[:1], pe[1:]
     patch_pe = patch_pe.reshape(grid, grid, -1)
-    patch_pe = jax.image.resize(
-        patch_pe,
-        (new_grid, new_grid, patch_pe.shape[-1]),
-        method='bicubic',
-    )
-    new_pe = jnp.concatenate(
-        [cls_pe, patch_pe.reshape(new_grid * new_grid, -1)]
+    w = _torch_bicubic_weights(grid, new_grid)
+    patch_pe = np.einsum('oh,hwc->owc', w, patch_pe)
+    patch_pe = np.einsum('ow,hwc->hoc', w, patch_pe)
+    new_pe = jnp.asarray(
+        np.concatenate(
+            [cls_pe, patch_pe.reshape(new_grid * new_grid, -1)]
+        ),
+        dtype=params['positional_embedding'].dtype,
     )
     new_params = dict(params)
     new_params['positional_embedding'] = new_pe

@@ -1,0 +1,105 @@
+"""OAKE blocks: multi-scale crop-grid CLIP embeddings (reference
+``oadp/oake/blocks.py``). Output per image:
+``dict(embeddings=(N,512) fp16, bboxes=(N,4) fp16)``.
+
+TPU redesign: the whole crop pyramid for one image — every PIL
+downscale level and every 224×224 block — is ONE jitted program
+(``OakeSteps.blocks_step``): pyramid levels are weight-matrix resizes,
+blocks are static-shape dynamic slices, and all crops are encoded in a
+single ViT batch. The reference instead builds the pyramid with PIL on
+the host (blocks.py:54-77, the CPU hot loop per SURVEY.md §3.1).
+"""
+
+__all__ = ['BlocksPipeline', 'main']
+
+from typing import Any
+
+import numpy as np
+
+from ..ops import preprocess as P
+from .base import BaseOakePipeline
+from .partitions import first_block_bbox, plan_blocks
+
+
+class BlocksPipeline(BaseOakePipeline):
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.block_size = int(self.config.get('block_size', 224))
+        self.max_stride = int(self.config.get('max_stride', 112))
+        self.rescale = float(self.config.get('rescale', 1.5))
+        self.max_levels = int(self.config.get('max_levels', 6))
+        self.max_blocks = int(self.config.get('max_blocks', 48))
+
+    def prepare(self, item: dict[str, Any]) -> dict[str, Any]:
+        w, h = item['width'], item['height']
+        plan = plan_blocks(
+            w, h, self.block_size, self.max_stride, self.rescale
+        )
+        n_blocks = len(plan.blocks)
+        if n_blocks > self.max_blocks:
+            raise ValueError(
+                f'image {w}x{h} yields {n_blocks} blocks > '
+                f'max_blocks={self.max_blocks}; raise .max_blocks'
+            )
+        n_levels = len(plan.levels) - 1
+        if n_levels > self.max_levels:
+            raise ValueError(
+                f'{n_levels} pyramid levels > max_levels={self.max_levels}'
+            )
+
+        pad = self.pad
+        level_wx = np.zeros((self.max_levels, pad, pad), np.float32)
+        level_wy = np.zeros((self.max_levels, pad, pad), np.float32)
+        for k in range(n_levels):
+            w0, h0 = plan.levels[k]
+            w1, h1 = plan.levels[k + 1]
+            mx, my = P.plain_resize_matrices(w0, h0, w1, h1, pad, pad)
+            level_wx[k, :w1] = mx
+            level_wy[k, :h1] = my
+
+        coords = np.zeros((self.max_blocks, 3), np.int32)
+        if n_blocks:
+            coords[:n_blocks] = [(lv, y, x) for lv, x, y in plan.blocks]
+
+        whole_wx, whole_wy = P.clip_transform_matrices(w, h, None, pad, pad)
+        bboxes = [first_block_bbox(w, h)] + plan.bboxes
+        return dict(
+            output=item['output'],
+            image=self._pad_image(item['image']),
+            level_wx=level_wx,
+            level_wy=level_wy,
+            whole_wx=whole_wx,
+            whole_wy=whole_wy,
+            coords=coords,
+            n_blocks=n_blocks,
+            bboxes=np.asarray(bboxes, np.float32),
+        )
+
+    def execute_batch(self, prepared: list[dict[str, Any]]) -> list[Any]:
+        (item,) = prepared
+        emb = np.asarray(
+            self.steps.blocks_step(
+                item['image'],
+                item['level_wx'],
+                item['level_wy'],
+                item['whole_wx'],
+                item['whole_wy'],
+                item['coords'],
+            )
+        )
+        n = 1 + item['n_blocks']
+        return [
+            dict(
+                embeddings=emb[:n].astype(np.float16),
+                bboxes=item['bboxes'].astype(np.float16),
+            )
+        ]
+
+
+def main(argv=None):
+    return BlocksPipeline.main(argv)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,182 @@
+"""Jitted device programs for the three OAKE pipelines.
+
+Each pipeline is ONE XLA program per fixed shape: preprocessing
+(crop/resize/normalize as MXU matmuls, see ``ops/preprocess.py``) fused
+with the CLIP encoder forward. The reference instead runs PIL on the
+host per crop and the encoder per image (SURVEY.md §3.1 hot loops).
+
+All shapes are static: images are padded to ``(pad_h, pad_w)``, crop
+batches to fixed sizes, block plans to ``max_blocks`` — so each pipeline
+compiles exactly once.
+"""
+
+__all__ = ['ClipModel', 'load_clip', 'OakeSteps']
+
+import dataclasses
+import functools
+import pathlib
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import clip as C
+from ..ops import preprocess as P
+from ..utils import logger
+
+
+@dataclasses.dataclass
+class ClipModel:
+    params: Any
+    config: C.ViTConfig
+    surgery_params: Any
+    surgery_config: C.ViTConfig
+
+    @property
+    def grid(self) -> int:
+        """ViT patch grid of the surgery model (mask resolution),
+        reference ``oadp/oake/objects.py:281``."""
+        return self.surgery_config.grid
+
+
+def load_clip(
+    checkpoint: str | None = 'pretrained/clip/ViT-B-32.pt',
+    dtype: str = 'float32',
+    upsample: int = 2,
+    vit: dict | None = None,
+) -> ClipModel:
+    """Load CLIP ViT-B/32 weights (OpenAI state dict or TorchScript
+    archive) and build stock + surgery parameter sets.
+
+    Missing checkpoint → random init with a warning (DRY_RUN smoke runs
+    and tests don't need pretrained weights). ``vit`` overrides the
+    encoder geometry (tests use scaled-down widths).
+    """
+    config = C.ViTConfig(**(vit or {}))
+    jdtype = jnp.bfloat16 if dtype == 'bfloat16' else jnp.float32
+    state = None
+    if checkpoint and pathlib.Path(checkpoint).exists():
+        state = _load_torch_checkpoint(checkpoint)
+    if state is not None:
+        params, _ = C.convert_torch_state_dict(state)
+    else:
+        if checkpoint:
+            logger.warning(
+                'CLIP checkpoint %s not found; using random weights',
+                checkpoint,
+            )
+        params = C.init_vit_params(jax.random.key(0), config)
+
+    surgery_params, surgery_config = C.upsample_vit_params(
+        params, config, upsample
+    )
+    cast = functools.partial(jax.tree.map, lambda x: jnp.asarray(x, jdtype))
+    return ClipModel(cast(params), config, cast(surgery_params), surgery_config)
+
+
+def _load_torch_checkpoint(path: str) -> dict[str, np.ndarray] | None:
+    import torch
+    try:
+        state = torch.load(path, map_location='cpu', weights_only=False)
+        if hasattr(state, 'state_dict'):
+            state = state.state_dict()
+    except Exception:
+        try:
+            state = torch.jit.load(path, map_location='cpu').state_dict()
+        except Exception:
+            logger.exception('failed to load CLIP checkpoint %s', path)
+            return None
+    return {
+        k: v.float().numpy()
+        for k, v in state.items()
+        if hasattr(v, 'numpy')
+    }
+
+
+def _l2_normalize(x: jax.Array) -> jax.Array:
+    x = x.astype(jnp.float32)
+    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+
+class OakeSteps:
+    """Compiled step functions, parameterized by static pad sizes."""
+
+    def __init__(self, model: ClipModel, pad_w: int = 640, pad_h: int = 640):
+        self.model = model
+        self.pad_w = pad_w
+        self.pad_h = pad_h
+        dtype = jax.tree.leaves(model.params)[0].dtype
+        self._dtype = dtype
+
+    # -- globals ----------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def globals_step(
+        self,
+        images: jax.Array,  # (B, PH, PW, 3) uint8
+        wx: jax.Array,  # (B, 224, PW)
+        wy: jax.Array,  # (B, 224, PH)
+    ) -> jax.Array:
+        crops = P.apply_resize_pair(images.astype(jnp.float32), wx, wy)
+        crops = P.normalize_clip(crops, self._dtype)
+        emb = C.image_encoder(self.model.params, crops, self.model.config)
+        return _l2_normalize(emb)
+
+    # -- blocks -----------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def blocks_step(
+        self,
+        image: jax.Array,  # (PH, PW, 3) uint8
+        level_wx: jax.Array,  # (L, PW, PW) level k -> k+1 horizontal
+        level_wy: jax.Array,  # (L, PH, PH)
+        whole_wx: jax.Array,  # (224, PW)
+        whole_wy: jax.Array,  # (224, PH)
+        coords: jax.Array,  # (MAX_B, 3) int32: (level, y, x)
+    ) -> jax.Array:
+        image = image.astype(jnp.float32)
+        n_levels = level_wx.shape[0]
+
+        def build_level(img, ws):
+            wx, wy = ws
+            return P.apply_resize_pair(img, wx, wy), None
+
+        def scan_body(img, ws):
+            nxt, _ = build_level(img, ws)
+            return nxt, nxt
+
+        _, pyramid = jax.lax.scan(scan_body, image, (level_wx, level_wy))
+        levels = jnp.concatenate([image[None], pyramid], axis=0)
+
+        def slice_block(c):
+            return jax.lax.dynamic_slice(
+                levels, (c[0], c[1], c[2], 0), (1, 224, 224, 3)
+            )[0]
+
+        blocks = jax.vmap(slice_block)(coords)
+        whole = P.apply_resize_pair(image, whole_wx, whole_wy)
+        crops = jnp.concatenate([whole[None], blocks], axis=0)
+        crops = P.normalize_clip(crops, self._dtype)
+        emb = C.image_encoder(self.model.params, crops, self.model.config)
+        return _l2_normalize(emb)
+
+    # -- objects ----------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def objects_step(
+        self,
+        image: jax.Array,  # (PH, PW, 3) uint8
+        wx: jax.Array,  # (B, 224, PW)
+        wy: jax.Array,  # (B, 224, PH)
+        masks: jax.Array,  # (B, grid, grid) 1 = background
+    ) -> jax.Array:
+        crops = P.apply_resize_pair(image.astype(jnp.float32), wx, wy)
+        crops = P.normalize_clip(crops, self._dtype)
+        emb = C.image_encoder_surgery(
+            self.model.surgery_params,
+            crops,
+            masks,
+            self.model.surgery_config,
+        )
+        return _l2_normalize(emb)

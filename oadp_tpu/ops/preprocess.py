@@ -207,6 +207,24 @@ def round_u8(x: jax.Array) -> jax.Array:
     return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
 
 
+def _resize_one(
+    image: jax.Array,  # (PH, PW, 3) float32 in [0, 255]
+    wx: jax.Array,  # (OW, PW)
+    wy: jax.Array,  # (OH, PH)
+    skip_round: bool,
+) -> jax.Array:
+    hi = jax.lax.Precision.HIGHEST
+    # Horizontal pass: contract over image columns.
+    t = jnp.einsum('ow,hwc->hoc', wx, image, precision=hi)
+    if not skip_round:
+        t = round_u8(t)
+    # Vertical pass: contract over image rows.
+    out = jnp.einsum('eh,hoc->eoc', wy, t, precision=hi)
+    if not skip_round:
+        out = round_u8(out)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=('skip_round',))
 def apply_resize_pair(
     image: jax.Array,
@@ -214,27 +232,27 @@ def apply_resize_pair(
     wy: jax.Array,
     skip_round: bool = False,
 ) -> jax.Array:
-    """Two-pass PIL resize on device.
+    """Two-pass PIL resize on device (weights from the builders above).
 
-    Args:
-        image: ``(PH, PW, 3)`` float32 pixel values in [0, 255].
-        wx: ``(..., OW, PW)`` horizontal weights (leading batch dims OK).
-        wy: ``(..., OH, PH)`` vertical weights with the same batch dims.
+    Supported layouts:
 
-    Returns:
-        ``(..., OH, OW, 3)`` float32 in [0, 255], rounded per pass like
-        PIL's 8-bit path (unless ``skip_round``).
+    * ``image (PH,PW,3)``, ``wx (OW,PW)``        → ``(OH,OW,3)``
+    * ``image (PH,PW,3)``, ``wx (B,OW,PW)``      → ``(B,OH,OW,3)``
+      (one image, many crops — the objects pipeline)
+    * ``image (B,PH,PW,3)``, ``wx (B,OW,PW)``    → ``(B,OH,OW,3)``
+      (paired batches — the globals pipeline)
+
+    Values are rounded to uint8 range per pass like PIL's 8-bit path
+    (unless ``skip_round``).
     """
-    hi = jax.lax.Precision.HIGHEST
-    # Horizontal pass: contract over image columns.
-    t = jnp.einsum('...ow,hwc->...hoc', wx, image, precision=hi)
-    if not skip_round:
-        t = round_u8(t)
-    # Vertical pass: contract over image rows.
-    out = jnp.einsum('...eh,...hoc->...eoc', wy, t, precision=hi)
-    if not skip_round:
-        out = round_u8(out)
-    return out
+    fn = functools.partial(_resize_one, skip_round=skip_round)
+    if image.ndim == 3 and wx.ndim == 2:
+        return fn(image, wx, wy)
+    if image.ndim == 3 and wx.ndim == 3:
+        return jax.vmap(fn, in_axes=(None, 0, 0))(image, wx, wy)
+    if image.ndim == 4 and wx.ndim == 3:
+        return jax.vmap(fn)(image, wx, wy)
+    raise ValueError(f'bad ranks: image {image.ndim}, wx {wx.ndim}')
 
 
 _MEAN = np.asarray(CLIP_MEAN, np.float32) * 255.0

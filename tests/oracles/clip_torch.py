@@ -159,6 +159,7 @@ class TextTransformer(nn.Module):
 def state_dict_openai_style(
     visual: VisionTransformer,
     text: TextTransformer | None = None,
+    numpy: bool = True,
 ) -> dict:
     """Rename oracle parameters to the OpenAI CLIP state-dict layout."""
     state = {f'visual.{k}': v for k, v in visual.state_dict().items()}
@@ -170,4 +171,7 @@ def state_dict_openai_style(
             state[k] = v
         state['text_projection'] = text.text_projection.data
         state['positional_embedding'] = text.positional_embedding.data
-    return {k: v.numpy() for k, v in state.items() if 'attn_mask' not in k}
+    state = {k: v for k, v in state.items() if 'attn_mask' not in k}
+    if numpy:
+        state = {k: v.numpy() for k, v in state.items()}
+    return state

@@ -92,9 +92,13 @@ def test_surgery_parity(small_models):
             torch.from_numpy(masks),
         ).numpy()
 
-    # JAX surgery model must use the SAME interpolated PE for this test:
-    up_params = dict(up_params)
-    up_params['positional_embedding'] = new_pe.detach().numpy()
+    # Our host-side torch-style bicubic must reproduce F.interpolate
+    np.testing.assert_allclose(
+        np.asarray(up_params['positional_embedding']),
+        new_pe.detach().numpy(),
+        atol=1e-5,
+        rtol=1e-5,
+    )
     actual = np.asarray(
         jclip.image_encoder_surgery(up_params, images, masks, up_config)
     )
