@@ -1,0 +1,119 @@
+"""Benchmark: OAKE extraction throughput (images/sec/chip).
+
+Measures the end-to-end device pipeline of the hot path — the
+OAKE-objects masked attention-pool CLIP encoder with fused on-device
+crop/resize/normalize (reference hot loop: ``oadp/oake/objects.py:
+316-338`` + per-crop PIL preprocessing) plus the whole-image globals
+step, per SURVEY.md §6 / BASELINE.json ("OAKE images/sec/chip
+(globals+objects)").
+
+One synthetic "image" = 1024 proposals (two full 512-crop mini-batches,
+the reference's ``mini_batch_size``, ``configs/oake/objects_coco.py:26``)
+plus one global crop. ``vs_baseline`` compares against an estimated
+reference throughput of 1.0 img/s per V100 GPU for the same workload
+(the reference publishes no throughput numbers — SURVEY.md §6; estimate
+from ViT-B/32-surgery FLOPs at 197 tokens x 1024 crops and the host-side
+per-crop PIL loop). Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from oadp_tpu.models import clip as C
+    from oadp_tpu.oake.encoders import ClipModel, OakeSteps
+
+    pad = 640
+    mini = 512
+    n_batches = 2  # proposals per image = n_batches * mini
+
+    dtype = 'bfloat16' if jax.default_backend() == 'tpu' else 'float32'
+    import jax.numpy as jnp
+    jdtype = jnp.bfloat16 if dtype == 'bfloat16' else jnp.float32
+
+    # Build params on the CPU backend (init is many tiny ops — slow to
+    # dispatch one-by-one to a remote chip), then transfer once.
+    config = C.ViTConfig()
+    with jax.default_device(jax.devices('cpu')[0]):
+        params = jax.tree.map(
+            lambda x: jnp.asarray(x, jdtype),
+            C.init_vit_params(jax.random.key(0), config),
+        )
+        surgery_params, surgery_config = C.upsample_vit_params(
+            params, config
+        )
+        surgery_params = jax.tree.map(
+            lambda x: jnp.asarray(x, jdtype), surgery_params
+        )
+    device = jax.devices()[0]
+    params, surgery_params = jax.device_put(
+        (params, surgery_params), device
+    )
+    model = ClipModel(params, config, surgery_params, surgery_config)
+    steps = OakeSteps(model, pad, pad)
+
+    from oadp_tpu.ops import preprocess as P
+
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 256, (pad, pad, 3), np.uint8)
+    g = model.grid
+    masks = (rng.random((mini, g, g)) > 0.5).astype(np.float32)
+
+    # Synthetic square proposals with realistic size spread, preprocessed
+    # exactly as the objects pipeline does (compact coefficients).
+    k = 21
+    wx_w = np.zeros((mini, 224, k), np.float32)
+    wy_w = np.zeros((mini, 224, k), np.float32)
+    wx_s = np.zeros((mini, 224), np.int32)
+    wy_s = np.zeros((mini, 224), np.int32)
+    for i in range(mini):
+        side = float(rng.uniform(32, 600))
+        x0 = float(rng.uniform(0, pad - 32))
+        y0 = float(rng.uniform(0, pad - 32))
+        xw, xs, yw, ys = P.clip_transform_coeffs(
+            pad, pad, (x0, y0, x0 + side, y0 + side), k
+        )
+        wx_w[i], wx_s[i], wy_w[i], wy_s[i] = xw, xs, yw, ys
+    gwx, _gs, gwy, _gs2 = P.clip_transform_coeffs(pad, pad, None, k)
+    gwx_d = np.asarray(
+        P.expand_coeffs(gwx[None], _gs[None], pad), np.float32
+    )
+    gwy_d = np.asarray(
+        P.expand_coeffs(gwy[None], _gs2[None], pad), np.float32
+    )
+
+    def one_image():
+        outs = [
+            steps.objects_step(image, wx_w, wx_s, wy_w, wy_s, masks)
+            for _ in range(n_batches)
+        ]
+        outs.append(steps.globals_step(image[None], gwx_d, gwy_d))
+        return outs
+
+    jax.block_until_ready(one_image())  # compile
+    jax.block_until_ready(one_image())  # warm
+
+    n_images = 8
+    t0 = time.perf_counter()
+    for _ in range(n_images):
+        out = one_image()
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = n_images / dt
+    baseline = 1.0  # estimated reference img/s per V100 (see docstring)
+    print(json.dumps({
+        'metric': 'oake_images_per_sec_per_chip',
+        'value': round(imgs_per_sec, 3),
+        'unit': 'images/sec/chip (1024 proposals + 1 global per image)',
+        'vs_baseline': round(imgs_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

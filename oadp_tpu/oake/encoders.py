@@ -58,21 +58,31 @@ def load_clip(
     state = None
     if checkpoint and pathlib.Path(checkpoint).exists():
         state = _load_torch_checkpoint(checkpoint)
-    if state is not None:
-        params, _ = C.convert_torch_state_dict(state)
-    else:
-        if checkpoint:
-            logger.warning(
-                'CLIP checkpoint %s not found; using random weights',
-                checkpoint,
-            )
-        params = C.init_vit_params(jax.random.key(0), config)
+    # Initialization/conversion happens on the CPU backend: it is many
+    # tiny ops, and dispatching them one-by-one to a (possibly remote)
+    # accelerator is pathologically slow. One device_put at the end.
+    with jax.default_device(jax.devices('cpu')[0]):
+        if state is not None:
+            params, _ = C.convert_torch_state_dict(state)
+        else:
+            if checkpoint:
+                logger.warning(
+                    'CLIP checkpoint %s not found; using random weights',
+                    checkpoint,
+                )
+            params = C.init_vit_params(jax.random.key(0), config)
 
-    surgery_params, surgery_config = C.upsample_vit_params(
-        params, config, upsample
+        surgery_params, surgery_config = C.upsample_vit_params(
+            params, config, upsample
+        )
+        cast = functools.partial(
+            jax.tree.map, lambda x: jnp.asarray(x, jdtype)
+        )
+        params, surgery_params = cast(params), cast(surgery_params)
+    params, surgery_params = jax.device_put(
+        (params, surgery_params), jax.devices()[0]
     )
-    cast = functools.partial(jax.tree.map, lambda x: jnp.asarray(x, jdtype))
-    return ClipModel(cast(params), config, cast(surgery_params), surgery_config)
+    return ClipModel(params, config, surgery_params, surgery_config)
 
 
 def _load_torch_checkpoint(path: str) -> dict[str, np.ndarray] | None:
@@ -100,7 +110,13 @@ def _l2_normalize(x: jax.Array) -> jax.Array:
 
 
 class OakeSteps:
-    """Compiled step functions, parameterized by static pad sizes."""
+    """Compiled step functions, parameterized by static pad sizes.
+
+    Params are passed to the jitted functions as *runtime arguments*
+    (never closed over): closing over them would bake ~350 MB of
+    weights into the HLO as constants — bloating compilation and
+    breaking remote-compile transports with payload limits.
+    """
 
     def __init__(self, model: ClipModel, pad_w: int = 640, pad_h: int = 640):
         self.model = model
@@ -108,24 +124,28 @@ class OakeSteps:
         self.pad_h = pad_h
         dtype = jax.tree.leaves(model.params)[0].dtype
         self._dtype = dtype
+        self._globals = jax.jit(
+            functools.partial(
+                _globals_fn, config=model.config, dtype=dtype
+            )
+        )
+        self._blocks = jax.jit(
+            functools.partial(_blocks_fn, config=model.config, dtype=dtype)
+        )
+        self._objects = jax.jit(
+            functools.partial(
+                _objects_fn, config=model.surgery_config, dtype=dtype
+            )
+        )
 
-    # -- globals ----------------------------------------------------------
-
-    @functools.partial(jax.jit, static_argnums=0)
     def globals_step(
         self,
         images: jax.Array,  # (B, PH, PW, 3) uint8
         wx: jax.Array,  # (B, 224, PW)
         wy: jax.Array,  # (B, 224, PH)
     ) -> jax.Array:
-        crops = P.apply_resize_pair(images.astype(jnp.float32), wx, wy)
-        crops = P.normalize_clip(crops, self._dtype)
-        emb = C.image_encoder(self.model.params, crops, self.model.config)
-        return _l2_normalize(emb)
+        return self._globals(self.model.params, images, wx, wy)
 
-    # -- blocks -----------------------------------------------------------
-
-    @functools.partial(jax.jit, static_argnums=0)
     def blocks_step(
         self,
         image: jax.Array,  # (PH, PW, 3) uint8
@@ -135,48 +155,70 @@ class OakeSteps:
         whole_wy: jax.Array,  # (224, PH)
         coords: jax.Array,  # (MAX_B, 3) int32: (level, y, x)
     ) -> jax.Array:
-        image = image.astype(jnp.float32)
-        n_levels = level_wx.shape[0]
+        return self._blocks(
+            self.model.params,
+            image, level_wx, level_wy, whole_wx, whole_wy, coords,
+        )
 
-        def build_level(img, ws):
-            wx, wy = ws
-            return P.apply_resize_pair(img, wx, wy), None
-
-        def scan_body(img, ws):
-            nxt, _ = build_level(img, ws)
-            return nxt, nxt
-
-        _, pyramid = jax.lax.scan(scan_body, image, (level_wx, level_wy))
-        levels = jnp.concatenate([image[None], pyramid], axis=0)
-
-        def slice_block(c):
-            return jax.lax.dynamic_slice(
-                levels, (c[0], c[1], c[2], 0), (1, 224, 224, 3)
-            )[0]
-
-        blocks = jax.vmap(slice_block)(coords)
-        whole = P.apply_resize_pair(image, whole_wx, whole_wy)
-        crops = jnp.concatenate([whole[None], blocks], axis=0)
-        crops = P.normalize_clip(crops, self._dtype)
-        emb = C.image_encoder(self.model.params, crops, self.model.config)
-        return _l2_normalize(emb)
-
-    # -- objects ----------------------------------------------------------
-
-    @functools.partial(jax.jit, static_argnums=0)
     def objects_step(
         self,
         image: jax.Array,  # (PH, PW, 3) uint8
-        wx: jax.Array,  # (B, 224, PW)
-        wy: jax.Array,  # (B, 224, PH)
+        wx_w: jax.Array,  # (B, 224, K) compact horizontal tap weights
+        wx_start: jax.Array,  # (B, 224) int32 first-tap columns
+        wy_w: jax.Array,  # (B, 224, K)
+        wy_start: jax.Array,  # (B, 224)
         masks: jax.Array,  # (B, grid, grid) 1 = background
     ) -> jax.Array:
-        crops = P.apply_resize_pair(image.astype(jnp.float32), wx, wy)
-        crops = P.normalize_clip(crops, self._dtype)
-        emb = C.image_encoder_surgery(
+        return self._objects(
             self.model.surgery_params,
-            crops,
-            masks,
-            self.model.surgery_config,
+            image, wx_w, wx_start, wy_w, wy_start, masks,
         )
-        return _l2_normalize(emb)
+
+
+def _globals_fn(params, images, wx, wy, *, config, dtype):
+    crops = P.apply_resize_pair(images.astype(jnp.float32), wx, wy)
+    crops = P.normalize_clip(crops, dtype)
+    emb = C.image_encoder(params, crops, config)
+    return _l2_normalize(emb)
+
+
+def _blocks_fn(
+    params, image, level_wx, level_wy, whole_wx, whole_wy, coords,
+    *, config, dtype,
+):
+    image = image.astype(jnp.float32)
+
+    def scan_body(img, ws):
+        nxt = P.apply_resize_pair(img, ws[0], ws[1])
+        return nxt, nxt
+
+    _, pyramid = jax.lax.scan(scan_body, image, (level_wx, level_wy))
+    levels = jnp.concatenate([image[None], pyramid], axis=0)
+
+    def slice_block(c):
+        return jax.lax.dynamic_slice(
+            levels, (c[0], c[1], c[2], 0), (1, 224, 224, 3)
+        )[0]
+
+    blocks = jax.vmap(slice_block)(coords)
+    whole = P.apply_resize_pair(image, whole_wx, whole_wy)
+    crops = jnp.concatenate([whole[None], blocks], axis=0)
+    crops = P.normalize_clip(crops, dtype)
+    emb = C.image_encoder(params, crops, config)
+    return _l2_normalize(emb)
+
+
+def _objects_fn(
+    params, image, wx_w, wx_start, wy_w, wy_start, masks,
+    *, config, dtype,
+):
+    # Crop weights arrive compact ((B, 224, K) taps + starts) and are
+    # expanded to dense resample matrices on device: shipping dense
+    # matrices would move ~40x more bytes over PCIe/tunnel than the
+    # image itself.
+    crops = P.apply_resize_coeffs(
+        image.astype(jnp.float32), wx_w, wx_start, wy_w, wy_start
+    )
+    crops = P.normalize_clip(crops, dtype)
+    emb = C.image_encoder_surgery(params, crops, masks, config)
+    return _l2_normalize(emb)

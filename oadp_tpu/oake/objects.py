@@ -37,6 +37,12 @@ class ObjectsPipeline(BaseOakePipeline):
         self._buckets = tuple(
             b for b in BUCKETS if b <= self.mini_batch_size
         ) or (self.mini_batch_size,)
+        # Tap-count buckets for the compact resample coefficients; the
+        # worst case is a sqrt(8)-expanded whole-image proposal.
+        k_max = P.coeff_ksize(np.sqrt(8.0) * self.pad)
+        self._k_buckets = tuple(
+            k for k in (5, 9, 13, 21, 33, 49) if k < k_max
+        ) + (k_max,)
 
     def dataset_kwargs(self, ds_cfg) -> dict[str, Any]:
         with open(ds_cfg.proposal_file, 'rb') as f:
@@ -78,17 +84,32 @@ class ObjectsPipeline(BaseOakePipeline):
         masks = B.grid_mask(foregrounds, crops, self.model.grid)
 
         n = len(proposals)
-        wx = np.zeros((n, 224, self.pad), np.float32)
-        wy = np.zeros((n, 224, self.pad), np.float32)
-        for i in range(n):
-            wx[i], wy[i] = P.clip_transform_matrices(
-                w, h, tuple(crops[i]), self.pad, self.pad
-            )
+        # Compact resample coefficients (taps + start columns); padded
+        # to a shared K and expanded to dense matrices on device.
+        coeffs = [
+            P.clip_transform_coeffs(w, h, tuple(crops[i]))
+            for i in range(n)
+        ]
+        k = max(
+            max(c[0].shape[1], c[2].shape[1]) for c in coeffs
+        )
+        k = bucket(k, self._k_buckets)
+        wx_w = np.zeros((n, 224, k), np.float32)
+        wy_w = np.zeros((n, 224, k), np.float32)
+        wx_start = np.zeros((n, 224), np.int32)
+        wy_start = np.zeros((n, 224), np.int32)
+        for i, (xw, xs, yw, ys) in enumerate(coeffs):
+            wx_w[i, :, :xw.shape[1]] = xw
+            wx_start[i] = xs
+            wy_w[i, :, :yw.shape[1]] = yw
+            wy_start[i] = ys
         return dict(
             output=item['output'],
             image=self._pad_image(item['image']),
-            wx=wx,
-            wy=wy,
+            wx_w=wx_w,
+            wx_start=wx_start,
+            wy_w=wy_w,
+            wy_start=wy_start,
             masks=masks,
             bboxes=proposals,
             objectness=objectness,
@@ -101,17 +122,24 @@ class ObjectsPipeline(BaseOakePipeline):
             (n, self.model.surgery_config.output_dim), np.float32
         )
         grid = self.model.grid
+        k = item['wx_w'].shape[-1]
         for start in range(0, n, self.mini_batch_size):
             stop = min(start + self.mini_batch_size, n)
             m = stop - start
             b = bucket(m, self._buckets)
-            wx = np.zeros((b, 224, self.pad), np.float32)
-            wy = np.zeros((b, 224, self.pad), np.float32)
+            wx_w = np.zeros((b, 224, k), np.float32)
+            wy_w = np.zeros((b, 224, k), np.float32)
+            wx_s = np.zeros((b, 224), np.int32)
+            wy_s = np.zeros((b, 224), np.int32)
             masks = np.zeros((b, grid, grid), np.float32)
-            wx[:m] = item['wx'][start:stop]
-            wy[:m] = item['wy'][start:stop]
+            wx_w[:m] = item['wx_w'][start:stop]
+            wy_w[:m] = item['wy_w'][start:stop]
+            wx_s[:m] = item['wx_start'][start:stop]
+            wy_s[:m] = item['wy_start'][start:stop]
             masks[:m] = item['masks'][start:stop]
-            emb = self.steps.objects_step(item['image'], wx, wy, masks)
+            emb = self.steps.objects_step(
+                item['image'], wx_w, wx_s, wy_w, wy_s, masks
+            )
             out[start:stop] = np.asarray(emb[:m])
         return [
             dict(

@@ -110,3 +110,59 @@ def test_normalize():
         np.asarray(pp._STD) / 255
     ) * np.ones((2, 2, 3))
     np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    'crop_box',
+    [
+        None,  # whole image
+        (10.3, 20.7, 210.5, 220.9),
+        (-30.0, -15.5, 250.0, 264.5),  # out-of-bounds zero-fill
+        (100.5, 50.5, 400.5, 350.5),
+        (5.0, 5.0, 37.0, 37.0),
+        (3.0, 5.0, 227.0, 229.0),  # identity resize (224x224 crop)
+    ],
+)
+def test_compact_coeffs_match_dense(image, crop_box):
+    """Compact (taps, starts) coefficients expand to the exact dense
+    matrices, so the device matmul is bit-identical to the dense path
+    (modulo out-of-image columns, which read zero-padded pixels)."""
+    import jax.numpy as jnp
+
+    pad = 512
+    h, w = image.shape[:2]
+    wx_d, wy_d = pp.clip_transform_matrices(w, h, crop_box, pad, pad)
+    k = pp.coeff_ksize(np.sqrt(8.0) * pad)
+    xw, xs, yw, ys = pp.clip_transform_coeffs(w, h, crop_box, k)
+    wx_c = np.array(pp.expand_coeffs(jnp.asarray(xw), jnp.asarray(xs), pad))
+    wy_c = np.array(pp.expand_coeffs(jnp.asarray(yw), jnp.asarray(ys), pad))
+    wx_c[:, w:] = 0  # dense path masks out-of-image columns explicitly
+    wy_c[:, h:] = 0
+    np.testing.assert_array_equal(wx_c, wx_d)
+    np.testing.assert_array_equal(wy_c, wy_d)
+
+
+def test_apply_resize_coeffs_vs_pil(image):
+    """End-to-end compact path matches the PIL oracle."""
+    pad = 512
+    h, w = image.shape[:2]
+    boxes = [(10.0, 10.0, 150.0, 150.0), (200.0, 100.0, 460.0, 340.0)]
+    k = 13
+    xw = np.stack([
+        pp.clip_transform_coeffs(w, h, b, k)[0] for b in boxes
+    ])
+    xs = np.stack([
+        pp.clip_transform_coeffs(w, h, b, k)[1] for b in boxes
+    ])
+    yw = np.stack([
+        pp.clip_transform_coeffs(w, h, b, k)[2] for b in boxes
+    ])
+    ys = np.stack([
+        pp.clip_transform_coeffs(w, h, b, k)[3] for b in boxes
+    ])
+    padded = np.zeros((pad, pad, 3), np.float32)
+    padded[:h, :w] = image
+    ours = np.asarray(pp.apply_resize_coeffs(padded, xw, xs, yw, ys))
+    pil = PIL.Image.fromarray(image)
+    for i, b in enumerate(boxes):
+        _assert_match(ours[i], _pil_clip_transform(pil, b))
