@@ -1,0 +1,243 @@
+"""ResNet-50 backbone, functional JAX (NHWC).
+
+Replaces mmdet's ``ResNet`` as configured at reference
+``configs/dp/models/faster_rcnn_r50_fpn.py:4-15`` /
+``vild_ensemble_faster_rcnn_r50_fpn.py:7``:
+
+* depth 50, 4 stages, out_indices (0,1,2,3);
+* ``style='pytorch'`` (stride in the 3x3 conv) or ``'caffe'`` (stride in
+  the first 1x1) — both needed (plain config vs SoCo/ViLD);
+* ``norm_eval=True``: batch norm always uses running statistics (the
+  affine weights still train);
+* ``frozen_stages=1``: stem and stage 1 take no gradient
+  (``stop_gradient`` on their parameters).
+
+Weight import: :func:`convert_torch_resnet` maps torchvision /
+mmdet-style ``backbone.*`` state dicts onto this pytree.
+"""
+
+__all__ = [
+    'ResNetConfig',
+    'init_resnet_params',
+    'resnet_forward',
+    'convert_torch_resnet',
+]
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import batch_norm, conv, init_bn, init_conv, max_pool
+
+Params = dict[str, Any]
+
+STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetConfig:
+    depth: int = 50
+    style: str = 'pytorch'  # or 'caffe'
+    frozen_stages: int = 1
+    norm_eval: bool = True
+    base_channels: int = 64
+
+    @property
+    def stage_blocks(self) -> tuple:
+        return STAGE_BLOCKS[self.depth]
+
+    @property
+    def out_channels(self) -> tuple:
+        c = self.base_channels
+        return (c * 4, c * 8, c * 16, c * 32)
+
+
+def _init_bottleneck(
+    key: jax.Array, c_in: int, c_mid: int, downsample: bool
+) -> tuple[Params, Params]:
+    ks = jax.random.split(key, 4)
+    c_out = c_mid * 4
+    bn1, s1 = init_bn(c_mid)
+    bn2, s2 = init_bn(c_mid)
+    bn3, s3 = init_bn(c_out)
+    p = {
+        'conv1': init_conv(ks[0], 1, c_in, c_mid),
+        'bn1': bn1,
+        'conv2': init_conv(ks[1], 3, c_mid, c_mid),
+        'bn2': bn2,
+        'conv3': init_conv(ks[2], 1, c_mid, c_out),
+        'bn3': bn3,
+    }
+    s = {'bn1': s1, 'bn2': s2, 'bn3': s3}
+    if downsample:
+        bnd, sd = init_bn(c_out)
+        p['downsample'] = {'conv': init_conv(ks[3], 1, c_in, c_out)}
+        p['downsample']['bn'] = bnd
+        s['downsample'] = {'bn': sd}
+    return p, s
+
+
+def init_resnet_params(
+    key: jax.Array, config: ResNetConfig = ResNetConfig()
+) -> tuple[Params, Params]:
+    """Returns ``(params, bn_stats)`` pytrees."""
+    keys = jax.random.split(key, 5)
+    bn_stem, s_stem = init_bn(config.base_channels)
+    params: Params = {
+        'stem': {
+            'conv': init_conv(keys[0], 7, 3, config.base_channels),
+            'bn': bn_stem,
+        },
+    }
+    stats: Params = {'stem': {'bn': s_stem}}
+    c_in = config.base_channels
+    for i, n_blocks in enumerate(config.stage_blocks):
+        c_mid = config.base_channels * (2 ** i)
+        stage_p, stage_s = [], []
+        bkeys = jax.random.split(keys[1 + i], n_blocks)
+        for b in range(n_blocks):
+            p, s = _init_bottleneck(
+                bkeys[b], c_in if b == 0 else c_mid * 4, c_mid, b == 0
+            )
+            stage_p.append(p)
+            stage_s.append(s)
+            c_in = c_mid * 4
+        params[f'layer{i + 1}'] = stage_p
+        stats[f'layer{i + 1}'] = stage_s
+    return params, stats
+
+
+def _bottleneck(
+    x: jax.Array,
+    p: Params,
+    s: Params,
+    stride: int,
+    style: str,
+    train_bn: bool,
+) -> tuple[jax.Array, Params]:
+    s_new = dict(s)
+    stride1, stride2 = (stride, 1) if style == 'caffe' else (1, stride)
+    out = conv(x, p['conv1'], stride=stride1, padding=0)
+    out, s_new['bn1'] = batch_norm(out, p['bn1'], s['bn1'], train_bn)
+    out = jax.nn.relu(out)
+    out = conv(out, p['conv2'], stride=stride2, padding=1)
+    out, s_new['bn2'] = batch_norm(out, p['bn2'], s['bn2'], train_bn)
+    out = jax.nn.relu(out)
+    out = conv(out, p['conv3'], padding=0)
+    out, s_new['bn3'] = batch_norm(out, p['bn3'], s['bn3'], train_bn)
+    if 'downsample' in p:
+        identity = conv(x, p['downsample']['conv'], stride=stride, padding=0)
+        identity, ds = batch_norm(
+            identity, p['downsample']['bn'], s['downsample']['bn'], train_bn
+        )
+        s_new['downsample'] = {'bn': ds}
+    else:
+        identity = x
+    return jax.nn.relu(out + identity), s_new
+
+
+def resnet_forward(
+    params: Params,
+    stats: Params,
+    images: jax.Array,  # (B, H, W, 3) normalized
+    config: ResNetConfig = ResNetConfig(),
+    train: bool = False,
+) -> tuple[list[jax.Array], Params]:
+    """Returns ``([C2, C3, C4, C5], new_stats)``.
+
+    ``norm_eval=True`` keeps BN in eval mode even when training, so
+    ``new_stats == stats`` for the backbone; the plumbing exists for
+    configs that disable norm_eval.
+    """
+    train_bn = train and not config.norm_eval
+
+    def freeze(tree):
+        return jax.tree.map(jax.lax.stop_gradient, tree)
+
+    stem_p = freeze(params['stem']) if config.frozen_stages >= 0 else (
+        params['stem']
+    )
+    x = conv(images, stem_p['conv'], stride=2, padding=3)
+    new_stats: Params = {'stem': {}}
+    x, new_stats['stem']['bn'] = batch_norm(
+        x, stem_p['bn'], stats['stem']['bn'], train_bn
+    )
+    x = jax.nn.relu(x)
+    x = max_pool(x, 3, 2, 1)
+
+    outs = []
+    for i in range(4):
+        name = f'layer{i + 1}'
+        stage_p = params[name]
+        if config.frozen_stages >= i + 1:
+            stage_p = freeze(stage_p)
+        stage_stats = []
+        stride = 1 if i == 0 else 2
+        for b, (bp, bs) in enumerate(zip(stage_p, stats[name])):
+            x, ns = _bottleneck(
+                x, bp, bs, stride if b == 0 else 1, config.style, train_bn
+            )
+            stage_stats.append(ns)
+        new_stats[name] = stage_stats
+        outs.append(x)
+    return outs, new_stats
+
+
+# ---------------------------------------------------------------------------
+# Weight conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_torch_resnet(
+    state: dict[str, np.ndarray],
+    prefix: str = '',
+    depth: int = 50,
+) -> tuple[Params, Params]:
+    """Convert a torchvision/mmdet ResNet state dict (numpy values) to
+    ``(params, stats)``. Torch conv weights ``(O, I, kH, kW)`` become
+    HWIO. ``prefix`` e.g. ``'backbone.'`` for mmdet checkpoints."""
+
+    def a(name):
+        return np.asarray(state[prefix + name], np.float32)
+
+    def cv(name):
+        return {'w': a(f'{name}.weight').transpose(2, 3, 1, 0)}
+
+    def bn(name):
+        params = {'scale': a(f'{name}.weight'), 'bias': a(f'{name}.bias')}
+        stats = {
+            'mean': a(f'{name}.running_mean'),
+            'var': a(f'{name}.running_var'),
+        }
+        return params, stats
+
+    stem_bn, stem_stats = bn('bn1')
+    params: Params = {'stem': {'conv': cv('conv1'), 'bn': stem_bn}}
+    stats: Params = {'stem': {'bn': stem_stats}}
+    for i, n_blocks in enumerate(STAGE_BLOCKS[depth]):
+        stage_p, stage_s = [], []
+        for b in range(n_blocks):
+            base = f'layer{i + 1}.{b}'
+            p: Params = {}
+            s: Params = {}
+            for j in (1, 2, 3):
+                p[f'conv{j}'] = cv(f'{base}.conv{j}')
+                p[f'bn{j}'], s[f'bn{j}'] = bn(f'{base}.bn{j}')
+            if f'{prefix}{base}.downsample.0.weight' in state:
+                dbn, dst = bn(f'{base}.downsample.1')
+                p['downsample'] = {
+                    'conv': cv(f'{base}.downsample.0'),
+                    'bn': dbn,
+                }
+                s['downsample'] = {'bn': dst}
+            stage_p.append(p)
+            stage_s.append(s)
+        params[f'layer{i + 1}'] = stage_p
+        stats[f'layer{i + 1}'] = stage_s
+    return (
+        jax.tree.map(jnp.asarray, params),
+        jax.tree.map(jnp.asarray, stats),
+    )

@@ -1,0 +1,147 @@
+"""RoIAlign over an FPN pyramid, XLA-native (single fused gather).
+
+Replaces the mmcv CUDA ``RoIAlign`` + mmdet ``SingleRoIExtractor``
+(reference ``configs/dp/models/faster_rcnn_r50_fpn.py:46-52``, invoked
+at ``oadp/dp/roi_heads.py:119-121,195-197``).
+
+TPU redesign: instead of per-level dynamic partitioning of RoIs (data-
+dependent shapes), the pyramid levels are flattened and concatenated
+into one ``(sum HW, C)`` table; each RoI's level only changes its base
+offset and row stride. All RoIs are then one batched bilinear gather —
+no masks, no per-level loops, gradients flow via XLA scatter-add.
+
+Deviation from mmcv: ``sampling_ratio=0`` (adaptive per-RoI sample
+counts) is not expressible with static shapes; a fixed ``sampling_ratio``
+(default 2, Detectron-style) is used instead. Verified to keep bilinear
+values within interpolation tolerance of the adaptive oracle.
+"""
+
+__all__ = ['assign_fpn_levels', 'roi_align_fpn']
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def assign_fpn_levels(
+    rois: jnp.ndarray,  # (R, 4)
+    num_levels: int,
+    finest_scale: float = 56.0,
+) -> jnp.ndarray:
+    """mmdet ``SingleRoIExtractor.map_roi_levels``:
+    ``lvl = floor(log2(sqrt(area) / finest_scale + 1e-6))`` clamped."""
+    w = rois[:, 2] - rois[:, 0]
+    h = rois[:, 3] - rois[:, 1]
+    scale = jnp.sqrt(jnp.clip(w * h, 0.0, None))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('out_size', 'sampling_ratio', 'strides', 'sizes'),
+)
+def _roi_align_packed(
+    flat_feats: jnp.ndarray,  # (sum HW, C)
+    rois: jnp.ndarray,  # (R, 4) in image coordinates
+    levels: jnp.ndarray,  # (R,) int32
+    out_size: int,
+    sampling_ratio: int,
+    strides: tuple,
+    sizes: tuple,  # ((H, W), ...) per level
+) -> jnp.ndarray:
+    heights = np.asarray([s[0] for s in sizes], np.float32)
+    widths = np.asarray([s[1] for s in sizes], np.float32)
+    offsets = np.concatenate(
+        [[0], np.cumsum([s[0] * s[1] for s in sizes])]
+    )[:-1].astype(np.int32)
+    strides_f = np.asarray(strides, np.float32)
+
+    r = rois.shape[0]
+    s = sampling_ratio
+    stride = jnp.take(jnp.asarray(strides_f), levels)  # (R,)
+    fh = jnp.take(jnp.asarray(heights), levels)
+    fw = jnp.take(jnp.asarray(widths), levels)
+    base = jnp.take(jnp.asarray(offsets), levels)
+
+    # mmcv aligned=True: continuous coords with half-pixel offset.
+    scale = 1.0 / stride
+    x0 = rois[:, 0] * scale - 0.5
+    y0 = rois[:, 1] * scale - 0.5
+    x1 = rois[:, 2] * scale - 0.5
+    y1 = rois[:, 3] * scale - 0.5
+    bin_w = (x1 - x0) / out_size
+    bin_h = (y1 - y0) / out_size
+
+    # Sample grid: (out, s) fractional positions inside the RoI.
+    grid = (
+        jnp.arange(out_size, dtype=jnp.float32)[:, None]
+        + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
+    )  # (out, s)
+    px = x0[:, None, None] + bin_w[:, None, None] * grid  # (R, out, s)
+    py = y0[:, None, None] + bin_h[:, None, None] * grid
+
+    def bilinear(p, size):
+        """Corner indices + weights with mmcv border handling."""
+        inside = (p >= -1.0) & (p <= size)
+        p = jnp.clip(p, 0.0, None)
+        lo = jnp.floor(p)
+        lo = jnp.minimum(lo, size - 1)
+        hi = jnp.minimum(lo + 1, size - 1)
+        frac = jnp.clip(p - lo, 0.0, 1.0)
+        return lo.astype(jnp.int32), hi.astype(jnp.int32), frac, inside
+
+    xl, xh, fx, okx = bilinear(px, fw[:, None, None])
+    yl, yh, fy, oky = bilinear(py, fh[:, None, None])
+
+    iw = fw.astype(jnp.int32)[:, None, None, None, None]
+    base_b = base[:, None, None, None, None]
+    # (R, out, s, out, s) flat indices for the 4 corners
+    def flat(yy, xx):
+        return base_b + yy[:, :, :, None, None] * iw + xx[:, None, None]
+
+    w_ll = ((1 - fy)[:, :, :, None, None] * (1 - fx)[:, None, None])
+    w_lh = ((1 - fy)[:, :, :, None, None] * fx[:, None, None])
+    w_hl = (fy[:, :, :, None, None] * (1 - fx)[:, None, None])
+    w_hh = (fy[:, :, :, None, None] * fx[:, None, None])
+    ok = (oky[:, :, :, None, None] & okx[:, None, None]).astype(jnp.float32)
+
+    def gather(idx):
+        return jnp.take(flat_feats, idx.reshape(-1), axis=0)
+
+    c = flat_feats.shape[-1]
+    shape = (r, out_size, s, out_size, s, c)
+    acc = (
+        gather(flat(yl, xl)).reshape(shape) * w_ll.reshape(shape[:-1])[..., None]
+        + gather(flat(yl, xh)).reshape(shape) * w_lh.reshape(shape[:-1])[..., None]
+        + gather(flat(yh, xl)).reshape(shape) * w_hl.reshape(shape[:-1])[..., None]
+        + gather(flat(yh, xh)).reshape(shape) * w_hh.reshape(shape[:-1])[..., None]
+    )
+    acc = acc * ok.reshape(shape[:-1])[..., None]
+    # Average the s x s samples per bin.
+    out = acc.mean(axis=(2, 4))  # (R, out, out, C)
+    return out
+
+
+def roi_align_fpn(
+    feats: list,  # per-level (H_l, W_l, C) feature maps (one image)
+    rois: jnp.ndarray,  # (R, 4)
+    out_size: int = 7,
+    sampling_ratio: int = 2,
+    strides: tuple = (4, 8, 16, 32),
+    finest_scale: float = 56.0,
+) -> jnp.ndarray:
+    """RoIAlign on an FPN pyramid → ``(R, out, out, C)``.
+
+    Only the first ``len(strides)`` levels participate (mmdet
+    ``bbox_roi_extractor.featmap_strides=[4,8,16,32]`` — P6 excluded).
+    """
+    feats = feats[:len(strides)]
+    sizes = tuple((f.shape[0], f.shape[1]) for f in feats)
+    flat = jnp.concatenate([f.reshape(-1, f.shape[-1]) for f in feats])
+    levels = assign_fpn_levels(rois, len(strides), finest_scale)
+    return _roi_align_packed(
+        flat, rois, levels, out_size, sampling_ratio, strides, sizes
+    )
