@@ -1,0 +1,272 @@
+"""COCO detection evaluation in pure numpy (pycocotools-compatible).
+
+pycocotools is a C extension that is not available in this environment,
+so the rebuild carries its own COCOeval implementation, faithful to
+``cocoeval.py``: greedy per-(image, category) matching at IoU thresholds
+0.50:0.05:0.95, crowd/area ignore semantics, 101-point interpolated
+precision, and the reference's evaluation protocol — maxDets
+``[100, 300, 1000]`` with AP reported at maxDets[-1] (reference
+``oadp/dp/datasets.py:104``).
+
+The OV-COCO triple summary (all / base / novel) slices the accumulated
+precision/recall tensors by category columns exactly like the reference
+(``oadp/dp/datasets.py:117-129``).
+"""
+
+__all__ = ['CocoEvaluator', 'ov_coco_summary']
+
+import numpy as np
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RNG = {
+    'all': (0.0, 1e10),
+    's': (0.0, 32.0 ** 2),
+    'm': (32.0 ** 2, 96.0 ** 2),
+    'l': (96.0 ** 2, 1e10),
+}
+
+
+def _iou_xywh(dts: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray):
+    """pycocotools ``iou`` for xywh boxes; crowd gts use IoA (inter over
+    det area)."""
+    if len(dts) == 0 or len(gts) == 0:
+        return np.zeros((len(dts), len(gts)))
+    dx1, dy1 = dts[:, 0], dts[:, 1]
+    dx2, dy2 = dts[:, 0] + dts[:, 2], dts[:, 1] + dts[:, 3]
+    gx1, gy1 = gts[:, 0], gts[:, 1]
+    gx2, gy2 = gts[:, 0] + gts[:, 2], gts[:, 1] + gts[:, 3]
+    iw = np.clip(
+        np.minimum(dx2[:, None], gx2[None]) -
+        np.maximum(dx1[:, None], gx1[None]), 0, None,
+    )
+    ih = np.clip(
+        np.minimum(dy2[:, None], gy2[None]) -
+        np.maximum(dy1[:, None], gy1[None]), 0, None,
+    )
+    inter = iw * ih
+    d_area = dts[:, 2] * dts[:, 3]
+    g_area = gts[:, 2] * gts[:, 3]
+    union = np.where(
+        iscrowd[None, :],
+        d_area[:, None],
+        d_area[:, None] + g_area[None, :] - inter,
+    )
+    return inter / np.maximum(union, 1e-12)
+
+
+class CocoEvaluator:
+    """Bbox (and mask-IoU precomputed) COCO evaluation.
+
+    Args:
+        dataset: COCO-format dict with ``images``, ``annotations``,
+            ``categories``.
+        cat_ids: ordered category ids to evaluate (column order of the
+            precision tensor — base-first for OV).
+        max_dets: evaluation maxDets; AP uses ``max_dets[-1]``.
+    """
+
+    def __init__(
+        self,
+        dataset: dict,
+        cat_ids: list[int],
+        max_dets: tuple = (100, 300, 1000),
+    ) -> None:
+        self.cat_ids = list(cat_ids)
+        self.max_dets = list(max_dets)
+        self.img_ids = [img['id'] for img in dataset['images']]
+        self._gts: dict = {
+            (i, c): [] for i in self.img_ids for c in self.cat_ids
+        }
+        for ann in dataset['annotations']:
+            keyed = (ann['image_id'], ann['category_id'])
+            if keyed in self._gts:
+                self._gts[keyed].append(ann)
+        self.eval: dict = {}
+
+    # -- per (img, cat) matching ------------------------------------------
+
+    def _evaluate_img(self, dts, gts, area_rng, max_det):
+        t = len(IOU_THRS)
+        if len(dts) == 0 and len(gts) == 0:
+            return None
+        g_ignore = np.array([
+            bool(g.get('iscrowd', 0))
+            or g['area'] < area_rng[0] or g['area'] > area_rng[1]
+            or bool(g.get('ignore', 0))
+            for g in gts
+        ], dtype=bool)
+        # sort gts: non-ignored first (stable)
+        g_order = np.argsort(g_ignore, kind='mergesort')
+        gts = [gts[i] for i in g_order]
+        g_ignore = g_ignore[g_order]
+        iscrowd = np.array(
+            [bool(g.get('iscrowd', 0)) for g in gts], dtype=bool
+        )
+        d_scores = np.array([-d['score'] for d in dts], np.float64)
+        d_order = np.argsort(d_scores, kind='mergesort')[:max_det]
+        dts = [dts[i] for i in d_order]
+
+        d_boxes = np.array([d['bbox'] for d in dts]).reshape(-1, 4)
+        g_boxes = np.array([g['bbox'] for g in gts]).reshape(-1, 4)
+        ious = _iou_xywh(d_boxes, g_boxes, iscrowd)
+
+        nd, ng = len(dts), len(gts)
+        dtm = np.zeros((t, nd), np.int64)
+        gtm = np.zeros((t, ng), np.int64)
+        dt_ignore = np.zeros((t, nd), bool)
+        for ti, thr in enumerate(IOU_THRS):
+            for di in range(nd):
+                best = min(thr, 1 - 1e-10)
+                m = -1
+                for gi in range(ng):
+                    if gtm[ti, gi] > 0 and not iscrowd[gi]:
+                        continue
+                    # stop at ignored gts once matched to a real one
+                    if m > -1 and not g_ignore[m] and g_ignore[gi]:
+                        break
+                    if ious[di, gi] < best:
+                        continue
+                    best = ious[di, gi]
+                    m = gi
+                if m == -1:
+                    continue
+                dtm[ti, di] = 1 + m
+                gtm[ti, m] = 1 + di
+                dt_ignore[ti, di] = g_ignore[m]
+        d_area = d_boxes[:, 2] * d_boxes[:, 3]
+        out_of_range = (d_area < area_rng[0]) | (d_area > area_rng[1])
+        dt_ignore |= (dtm == 0) & out_of_range[None, :]
+        return {
+            'dt_scores': np.array(
+                [d['score'] for d in dts], np.float64
+            ),
+            'dt_matched': dtm > 0,
+            'dt_ignore': dt_ignore,
+            'n_gt': int((~g_ignore).sum()),
+        }
+
+    # -- accumulate ----------------------------------------------------------
+
+    def evaluate(self, detections: list[dict]) -> dict:
+        """``detections``: COCO result dicts (image_id, category_id,
+        bbox xywh, score). Populates ``self.eval`` with ``precision``
+        ``(T, R, K, A, M)`` and ``recall (T, K, A, M)``."""
+        dts: dict = {
+            (i, c): [] for i in self.img_ids for c in self.cat_ids
+        }
+        for d in detections:
+            keyed = (d['image_id'], d['category_id'])
+            if keyed in dts:
+                dts[keyed].append(d)
+
+        t, r = len(IOU_THRS), len(REC_THRS)
+        k, a, m = len(self.cat_ids), len(AREA_RNG), len(self.max_dets)
+        precision = -np.ones((t, r, k, a, m))
+        recall = -np.ones((t, k, a, m))
+
+        area_items = list(AREA_RNG.values())
+        max_det_cap = self.max_dets[-1]
+        for ki, cat in enumerate(self.cat_ids):
+            # evaluate at the largest maxDet; smaller caps re-slice
+            per_area = [[] for _ in area_items]
+            for img in self.img_ids:
+                for ai, rng in enumerate(area_items):
+                    e = self._evaluate_img(
+                        dts[(img, cat)], self._gts[(img, cat)], rng,
+                        max_det_cap,
+                    )
+                    per_area[ai].append(e)
+            for ai in range(a):
+                evals = [e for e in per_area[ai] if e is not None]
+                if not evals:
+                    continue
+                scores = np.concatenate([e['dt_scores'] for e in evals])
+                order = np.argsort(-scores, kind='mergesort')
+                n_gt = sum(e['n_gt'] for e in evals)
+                for mi, md in enumerate(self.max_dets):
+                    matched = np.concatenate(
+                        [e['dt_matched'][:, :md] for e in evals], axis=1
+                    )
+                    ignored = np.concatenate(
+                        [e['dt_ignore'][:, :md] for e in evals], axis=1
+                    )
+                    sc = np.concatenate(
+                        [e['dt_scores'][:md] for e in evals]
+                    )
+                    ord_m = np.argsort(-sc, kind='mergesort')
+                    matched = matched[:, ord_m]
+                    ignored = ignored[:, ord_m]
+                    if n_gt == 0:
+                        continue
+                    tps = matched & ~ignored
+                    fps = ~matched & ~ignored
+                    tp_sum = np.cumsum(tps, axis=1, dtype=np.float64)
+                    fp_sum = np.cumsum(fps, axis=1, dtype=np.float64)
+                    for ti in range(t):
+                        tp, fp = tp_sum[ti], fp_sum[ti]
+                        rc = tp / n_gt
+                        pr = tp / np.maximum(tp + fp, np.spacing(1))
+                        recall[ti, ki, ai, mi] = rc[-1] if len(rc) else 0
+                        # monotone interpolation from the right
+                        pr = pr.tolist()
+                        for i in range(len(pr) - 1, 0, -1):
+                            if pr[i] > pr[i - 1]:
+                                pr[i - 1] = pr[i]
+                        inds = np.searchsorted(rc, REC_THRS, side='left')
+                        q = np.zeros(r)
+                        for ri, pi in enumerate(inds):
+                            if pi < len(pr):
+                                q[ri] = pr[pi]
+                        precision[ti, :, ki, ai, mi] = q
+
+        self.eval = {'precision': precision, 'recall': recall}
+        return self.eval
+
+    # -- summarize ------------------------------------------------------------
+
+    def summarize(
+        self,
+        precision: np.ndarray | None = None,
+        recall: np.ndarray | None = None,
+    ) -> dict[str, float]:
+        """The six stats the reference logs (``oadp/dp/datasets.py:
+        86-97``): mAP, AP50, AP75, APs, APm, APl — at maxDets[-1]."""
+        p = self.eval['precision'] if precision is None else precision
+
+        def ap(iou=None, area='all'):
+            ai = list(AREA_RNG).index(area)
+            s = p[:, :, :, ai, -1]
+            if iou is not None:
+                ti = int(np.argwhere(np.isclose(IOU_THRS, iou))[0][0])
+                s = s[ti:ti + 1]
+            s = s[s > -1]
+            return float(s.mean()) if s.size else -1.0
+
+        return {
+            '': ap(),
+            '50': ap(iou=0.5),
+            '75': ap(iou=0.75),
+            's': ap(area='s'),
+            'm': ap(area='m'),
+            'l': ap(area='l'),
+        }
+
+
+def ov_coco_summary(
+    evaluator: CocoEvaluator, num_bases: int, num_novels: int
+) -> dict[str, float]:
+    """Triple summary (48_17 / 48 / 17), reference
+    ``oadp/dp/datasets.py:104-129``."""
+    precision = evaluator.eval['precision']
+    out: dict[str, float] = {}
+
+    def emit(prefix, p):
+        stats = evaluator.summarize(precision=p)
+        for k, v in stats.items():
+            out[f'{prefix}_bbox_mAP_{k}'] = round(v, 4)
+
+    emit(f'COCO_{num_bases}_{num_novels}', precision)
+    emit(f'COCO_{num_bases}', precision[:, :, :num_bases])
+    emit(f'COCO_{num_novels}', precision[:, :, num_bases:])
+    return out

@@ -1,0 +1,440 @@
+"""DP host-side data pipeline: COCO/LVIS datasets, OAKE feature loading,
+augmentation, static-shape batch assembly.
+
+Replaces the reference's mmdet dataset + pipeline stack
+(``oadp/dp/datasets.py``, ``configs/dp/datasets/ov_coco.py:20-65``):
+
+* ``CocoDetDataset`` — annotation loading with the OV category order
+  (labels = positions in ``categories.all_``; the OV annotation files
+  already carry contiguous base-first ids, reference
+  ``oadp/build_annotations.py:54-58``), mmdet-style empty-gt filtering,
+  DRY_RUN truncation to 3 images (``oadp/dp/datasets.py:29-63``);
+* ``LoadClipFeatures`` — per-sample reads from the three OAKE stores,
+  block multi-labels by bbox-overlap against gts
+  (``oadp/dp/datasets.py:185-201``), min-4x4 object re-filter;
+* ``TrainTransform`` / ``TestTransform`` — multiscale range resize
+  (keep-ratio), random horizontal flip applied to *all* box fields,
+  mean/std normalization;
+* ``BatchBuilder`` — TPU redesign of mmdet's pad-to-divisor batching:
+  images land on one of two static canvases (landscape / portrait) and
+  every variable-length field is padded + masked, so XLA compiles two
+  programs total. The loader groups samples by orientation exactly like
+  mmdet's aspect-ratio ``GroupSampler``.
+"""
+
+__all__ = [
+    'CocoDetDataset',
+    'LoadClipFeatures',
+    'TrainTransform',
+    'TestTransform',
+    'BatchBuilder',
+    'Loader',
+]
+
+import json
+import pathlib
+import queue as queue_mod
+import threading
+from typing import Any, Iterator
+
+import numpy as np
+import PIL.Image
+
+from ..base import Categories
+from ..ops import boxes as B
+from ..utils import Config, PthAccessLayer, Store, logger
+
+# ImageNet/caffe normalization used by all DP configs
+# (configs/dp/datasets/ov_coco.py:9-13)
+IMG_MEAN = np.asarray([123.675, 116.28, 103.53], np.float32)
+IMG_STD = np.asarray([58.395, 57.12, 57.375], np.float32)
+
+
+class CocoDetDataset:
+    """Images + boxes + labels, OV category order."""
+
+    def __init__(
+        self,
+        ann_file: str,
+        img_prefix: str,
+        categories: Categories,
+        test_mode: bool = False,
+        filter_empty_gt: bool = True,
+        clip_features: 'LoadClipFeatures | None' = None,
+    ) -> None:
+        self.img_prefix = pathlib.Path(img_prefix)
+        self.categories = categories
+        self.test_mode = test_mode
+        self.clip_features = clip_features
+        with open(ann_file) as f:
+            data = json.load(f)
+        self.dataset = data
+
+        # label = index of the category in ann-file id order (for OV
+        # files ids are already 0..K-1 in all_ order)
+        cat_ids = sorted(c['id'] for c in data['categories'])
+        self.cat_ids = cat_ids
+        self.cat2label = {cid: i for i, cid in enumerate(cat_ids)}
+
+        anns_by_img: dict[int, list] = {}
+        for ann in data['annotations']:
+            anns_by_img.setdefault(ann['image_id'], []).append(ann)
+        self.images = list(data['images'])
+        if not test_mode and filter_empty_gt:
+            self.images = [
+                img for img in self.images if anns_by_img.get(img['id'])
+            ]
+        if Store.DRY_RUN:
+            self.images = self.images[:3]
+        self.anns_by_img = anns_by_img
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def aspect_group(self, idx: int) -> int:
+        """0 = landscape (w >= h), 1 = portrait — mmdet GroupSampler."""
+        info = self.images[idx]
+        return 0 if info['width'] >= info['height'] else 1
+
+    def __getitem__(self, idx: int) -> dict[str, Any]:
+        info = self.images[idx]
+        path = self.img_prefix / info['file_name']
+        with PIL.Image.open(path) as img:
+            image = np.asarray(img.convert('RGB'))
+        boxes, labels = [], []
+        for ann in self.anns_by_img.get(info['id'], []):
+            if ann.get('iscrowd', 0) and not self.test_mode:
+                continue
+            x, y, w, h = ann['bbox']
+            if w < 1 or h < 1:
+                continue
+            boxes.append([x, y, x + w, y + h])
+            labels.append(self.cat2label[ann['category_id']])
+        sample = {
+            'image_id': info['id'],
+            'image': image,
+            'gt_boxes': np.asarray(boxes, np.float32).reshape(-1, 4),
+            'gt_labels': np.asarray(labels, np.int64),
+            'bbox_fields': ['gt_boxes'],
+        }
+        if self.clip_features is not None:
+            sample = self.clip_features(sample, self.categories)
+        return sample
+
+
+class LoadClipFeatures:
+    """OAKE feature loading (reference ``LoadCLIPFeatures``,
+    ``oadp/dp/datasets.py:137-214``)."""
+
+    def __init__(
+        self,
+        globals_: str | None = None,
+        blocks: str | None = None,
+        objects: str | None = None,
+    ) -> None:
+        self._globals = PthAccessLayer(globals_) if globals_ else None
+        self._blocks = PthAccessLayer(blocks) if blocks else None
+        self._objects = PthAccessLayer(objects) if objects else None
+        self._dry_key: str | None = None
+        if Store.DRY_RUN:
+            keys = [
+                set(layer)
+                for layer in (self._globals, self._blocks, self._objects)
+                if layer is not None
+            ]
+            self._dry_key = sorted(set.intersection(*keys))[0]
+
+    def __call__(
+        self, sample: dict[str, Any], categories: Categories
+    ) -> dict[str, Any]:
+        key = self._dry_key or f'{sample["image_id"]:012d}'
+        if self._globals is not None:
+            g = np.asarray(self._globals[key], np.float32)
+            sample['clip_global'] = g.reshape(-1)
+        if self._blocks is not None:
+            blocks = self._blocks[key]
+            block_boxes = np.asarray(blocks['bboxes'], np.float32)
+            sample['clip_blocks'] = np.asarray(
+                blocks['embeddings'], np.float32
+            )
+            sample['block_boxes'] = block_boxes
+            sample['bbox_fields'].append('block_boxes')
+            gt_boxes = sample.get('gt_boxes')
+            if gt_boxes is not None:
+                num_all = categories.num_all
+                labels = np.zeros(
+                    (len(block_boxes), num_all), bool
+                )
+                gt_labels = sample['gt_labels']
+                keep = gt_labels < num_all  # drop pseudo labels
+                inter = B.pairwise_intersection(
+                    block_boxes, gt_boxes[keep]
+                )
+                b_ids, g_ids = np.nonzero(inter > 0)
+                labels[b_ids, gt_labels[keep][g_ids]] = True
+                sample['block_labels'] = labels
+        if self._objects is not None:
+            objects = self._objects[key]
+            boxes = np.asarray(objects['bboxes'], np.float32)
+            emb = np.asarray(objects['embeddings'], np.float32)
+            keep = B.filter_min_wh(boxes, 4, 4)
+            sample['clip_objects'] = emb[keep]
+            sample['object_boxes'] = boxes[keep]
+            sample['bbox_fields'].append('object_boxes')
+        return sample
+
+
+class TrainTransform:
+    """Multiscale keep-ratio resize + random flip + normalize
+    (``configs/dp/datasets/ov_coco.py:33-44``)."""
+
+    def __init__(
+        self,
+        scales: tuple = ((1330, 640), (1333, 800)),
+        flip_ratio: float = 0.5,
+        seed: int = 0,
+    ) -> None:
+        self.scales = scales
+        self.flip_ratio = flip_ratio
+        self.rng = np.random.RandomState(seed)
+
+    def _sample_scale(self) -> tuple[int, int]:
+        (l0, s0), (l1, s1) = self.scales
+        long = self.rng.randint(min(l0, l1), max(l0, l1) + 1)
+        short = self.rng.randint(min(s0, s1), max(s0, s1) + 1)
+        return long, short
+
+    def __call__(self, sample: dict[str, Any]) -> dict[str, Any]:
+        long, short = self._sample_scale()
+        sample = resize_keep_ratio(sample, long, short)
+        if self.rng.rand() < self.flip_ratio:
+            sample = flip_horizontal(sample)
+        return normalize(sample)
+
+
+class TestTransform:
+
+    def __init__(self, scale: tuple = (1333, 800)) -> None:
+        self.scale = scale
+
+    def __call__(self, sample: dict[str, Any]) -> dict[str, Any]:
+        sample = resize_keep_ratio(sample, *self.scale)
+        return normalize(sample)
+
+
+def resize_keep_ratio(
+    sample: dict[str, Any], long: int, short: int
+) -> dict[str, Any]:
+    image = sample['image']
+    h, w = image.shape[:2]
+    factor = min(long / max(h, w), short / min(h, w))
+    new_w, new_h = int(w * factor + 0.5), int(h * factor + 0.5)
+    pil = PIL.Image.fromarray(image)
+    image = np.asarray(pil.resize((new_w, new_h), PIL.Image.BILINEAR))
+    sample['image'] = image
+    # mmdet records the actual w/h ratios
+    wr, hr = new_w / w, new_h / h
+    scale = np.asarray([wr, hr, wr, hr], np.float32)
+    for field in sample['bbox_fields']:
+        sample[field] = sample[field] * scale
+    sample['scale_factor'] = scale
+    sample['img_hw'] = np.asarray([new_h, new_w], np.float32)
+    return sample
+
+
+def flip_horizontal(sample: dict[str, Any]) -> dict[str, Any]:
+    image = sample['image']
+    w = image.shape[1]
+    sample['image'] = image[:, ::-1]
+    for field in sample['bbox_fields']:
+        boxes = sample[field].copy()
+        boxes[..., 0] = w - sample[field][..., 2]
+        boxes[..., 2] = w - sample[field][..., 0]
+        sample[field] = boxes
+    return sample
+
+
+def normalize(sample: dict[str, Any]) -> dict[str, Any]:
+    sample['image'] = (
+        sample['image'].astype(np.float32) - IMG_MEAN
+    ) / IMG_STD
+    return sample
+
+
+class BatchBuilder:
+    """Pad a list of samples to one static-canvas batch (numpy)."""
+
+    def __init__(
+        self,
+        canvas: tuple[int, int] = (832, 1344),  # (H, W), landscape
+        max_gts: int = 100,
+        max_blocks: int = 128,
+        max_objects: int = 512,
+        embedding_dim: int = 512,
+        num_all: int = 65,
+        with_clip: bool = True,
+    ) -> None:
+        self.canvas = canvas
+        self.max_gts = max_gts
+        self.max_blocks = max_blocks
+        self.max_objects = max_objects
+        self.embedding_dim = embedding_dim
+        self.num_all = num_all
+        self.with_clip = with_clip
+
+    def _canvas_for(self, samples) -> tuple[int, int]:
+        h, w = self.canvas
+        if samples[0]['image'].shape[0] > samples[0]['image'].shape[1]:
+            h, w = w, h  # portrait group
+        return h, w
+
+    def __call__(self, samples: list[dict[str, Any]]) -> dict[str, Any]:
+        b = len(samples)
+        ch, cw = self._canvas_for(samples)
+        d = self.embedding_dim
+
+        def pad_rows(key, n, trailing):
+            out = np.zeros((b, n) + trailing, np.float32)
+            valid = np.zeros((b, n), bool)
+            for i, s in enumerate(samples):
+                v = s.get(key)
+                if v is None:
+                    continue
+                m = min(len(v), n)
+                out[i, :m] = v[:m]
+                valid[i, :m] = True
+            return out, valid
+
+        images = np.zeros((b, ch, cw, 3), np.float32)
+        img_hw = np.zeros((b, 2), np.float32)
+        for i, s in enumerate(samples):
+            img = s['image']
+            h, w = img.shape[:2]
+            assert h <= ch and w <= cw, (img.shape, (ch, cw))
+            images[i, :h, :w] = img
+            img_hw[i] = s['img_hw']
+
+        gt_boxes, gt_valid = pad_rows('gt_boxes', self.max_gts, (4,))
+        gt_labels = np.zeros((b, self.max_gts), np.int32)
+        for i, s in enumerate(samples):
+            m = min(len(s['gt_labels']), self.max_gts)
+            gt_labels[i, :m] = s['gt_labels'][:m]
+
+        batch = {
+            'images': images,
+            'img_hw': img_hw,
+            'gt_boxes': gt_boxes,
+            'gt_labels': gt_labels,
+            'gt_valid': gt_valid,
+            'image_ids': np.asarray([s['image_id'] for s in samples]),
+            'scale_factor': np.stack(
+                [s['scale_factor'] for s in samples]
+            ),
+        }
+        if self.with_clip:
+            batch['clip_global'] = np.stack([
+                s.get('clip_global', np.zeros(d, np.float32))
+                for s in samples
+            ])
+            batch['block_boxes'], batch['block_valid'] = pad_rows(
+                'block_boxes', self.max_blocks, (4,)
+            )
+            batch['clip_blocks'], _ = pad_rows(
+                'clip_blocks', self.max_blocks, (d,)
+            )
+            labels = np.zeros(
+                (b, self.max_blocks, self.num_all), np.float32
+            )
+            for i, s in enumerate(samples):
+                v = s.get('block_labels')
+                if v is not None:
+                    m = min(len(v), self.max_blocks)
+                    labels[i, :m] = v[:m]
+            batch['block_labels'] = labels
+            batch['object_boxes'], batch['object_valid'] = pad_rows(
+                'object_boxes', self.max_objects, (4,)
+            )
+            batch['clip_objects'], _ = pad_rows(
+                'clip_objects', self.max_objects, (d,)
+            )
+        return batch
+
+
+class Loader:
+    """Orientation-grouped, process-sharded, prefetching batch loader."""
+
+    def __init__(
+        self,
+        dataset: CocoDetDataset,
+        builder: BatchBuilder,
+        batch_size: int,
+        transform,
+        shuffle: bool,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        prefetch: int = 2,
+    ) -> None:
+        self.dataset = dataset
+        self.builder = builder
+        self.batch_size = batch_size
+        self.transform = transform
+        self.shuffle = shuffle
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+
+    def _index_batches(self, epoch: int) -> list[list[int]]:
+        rng = np.random.RandomState(self.seed + epoch)
+        groups: dict[int, list[int]] = {0: [], 1: []}
+        for i in range(len(self.dataset)):
+            groups[self.dataset.aspect_group(i)].append(i)
+        batches = []
+        for idx in groups.values():
+            idx = np.asarray(idx)
+            if self.shuffle:
+                rng.shuffle(idx)
+            # round up to full batches by wrapping (train only)
+            n = len(idx)
+            if n == 0:
+                continue
+            bs = self.batch_size
+            if self.shuffle and n % bs:
+                idx = np.concatenate([idx, idx[:bs - n % bs]])
+            for j in range(0, len(idx) - bs + 1, bs):
+                batches.append(list(idx[j:j + bs]))
+            if not self.shuffle and len(idx) % bs:
+                batches.append(list(idx[-(len(idx) % bs):]))
+        if self.shuffle:
+            order = rng.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        return batches[self.process_index::self.process_count]
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict[str, Any]]:
+        """Yield batches with background prefetch."""
+        batches = self._index_batches(epoch)
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+
+        def worker():
+            try:
+                for idxs in batches:
+                    samples = [
+                        self.transform(self.dataset[i]) for i in idxs
+                    ]
+                    q.put(self.builder(samples))
+            except Exception:  # pragma: no cover
+                logger.exception('loader worker failed')
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+    def __len__(self) -> int:
+        return len(self._index_batches(0))

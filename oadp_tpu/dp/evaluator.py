@@ -1,0 +1,160 @@
+"""Detection evaluation loop: sharded inference → COCO metrics.
+
+Replaces the reference's ``single_gpu_test``/``multi_gpu_test`` + rank-0
+``dataset.evaluate`` path (``oadp/dp/test.py:65-85``): batches are
+padded to a static size (repeating the tail), results deduped by image
+id, boxes rescaled back to original coordinates, and metrics produced by
+the in-repo ``CocoEvaluator`` with the OV triple summary.
+
+DUMP mode (reference ``oadp/dp/roi_heads.py:131-166``): when
+``Store.DUMP`` points at a directory, per-image raw logits records are
+written as fp16 ``.pth`` files and dummy metrics are returned — the NNI
+post-hoc calibration consumes these.
+"""
+
+__all__ = ['DetEvaluator']
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import Categories
+from ..models import detector as DET
+from ..utils import PthAccessLayer, Store, logger
+from .builder import canvas_anchors
+from .coco_eval import CocoEvaluator, ov_coco_summary
+from .datasets import BatchBuilder, CocoDetDataset, Loader, TestTransform
+
+
+class DetEvaluator:
+
+    def __init__(
+        self,
+        dataset: CocoDetDataset,
+        config,  # DetectorConfig
+        categories: Categories,
+        batch_size: int = 1,
+        canvas: tuple[int, int] = (832, 1344),
+        scale: tuple[int, int] = (1333, 800),
+        bf16: bool = False,
+    ) -> None:
+        self.dataset = dataset
+        self.config = config
+        self.categories = categories
+        self.batch_size = batch_size
+        self.bf16 = bf16
+        builder = BatchBuilder(
+            canvas=canvas, with_clip=False,
+            num_all=categories.num_all,
+        )
+        self.loader = Loader(
+            dataset, builder, batch_size, TestTransform(scale),
+            shuffle=False,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        self._jit: dict[tuple, Any] = {}
+        self._dump = (
+            PthAccessLayer(Store.DUMP, readonly=False)
+            if Store.DUMP else None
+        )
+
+    def _fn(self, canvas: tuple):
+        if canvas not in self._jit:
+            anchors = canvas_anchors(self.config, canvas)
+            self._jit[canvas] = jax.jit(
+                functools.partial(
+                    DET.simple_test,
+                    config=self.config,
+                    level_anchors=anchors,
+                )
+            )
+        return self._jit[canvas]
+
+    def run(self, params, stats) -> dict[str, float]:
+        results: dict[int, list[dict]] = {}
+        n_done = 0
+        for batch in self.loader.epoch(0):
+            ids = batch['image_ids']
+            scale = batch['scale_factor']
+            b = len(ids)
+            device_batch = {
+                k: v for k, v in batch.items()
+                if k not in ('image_ids', 'scale_factor')
+            }
+            if self.bf16:
+                device_batch['images'] = device_batch['images'].astype(
+                    jnp.bfloat16
+                )
+            if b < self.batch_size:  # pad tail batch to the static size
+                pad = self.batch_size - b
+                device_batch = {
+                    k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                    for k, v in device_batch.items()
+                }
+            out = self._fn(device_batch['images'].shape[1:3])(
+                params, stats, device_batch
+            )
+            out = jax.tree.map(np.asarray, out)
+            for i in range(b):
+                img_id = int(ids[i])
+                if img_id in results:
+                    continue
+                if self._dump is not None:
+                    self._write_dump(img_id, out, i)
+                    results[img_id] = []
+                    continue
+                dets = out['dets'][i]
+                valid = out['valid'][i]
+                labels = out['labels'][i]
+                boxes = dets[:, :4] / scale[i]  # back to original coords
+                res = []
+                for j in np.nonzero(valid)[0]:
+                    x0, y0, x1, y1 = boxes[j]
+                    res.append(dict(
+                        image_id=img_id,
+                        category_id=self.dataset.cat_ids[int(labels[j])],
+                        bbox=[
+                            float(x0), float(y0),
+                            float(x1 - x0), float(y1 - y0),
+                        ],
+                        score=float(dets[j, 4]),
+                    ))
+                results[img_id] = res
+            n_done += b
+            if n_done % (50 * self.batch_size) == 0:
+                logger.info('eval: %d/%d images', n_done, len(self.dataset))
+
+        if self._dump is not None:
+            logger.info('DUMP mode: wrote %d records, skipping metrics',
+                        len(results))
+            return {}
+        detections = [d for res in results.values() for d in res]
+        evaluator = CocoEvaluator(
+            self.dataset.dataset, self.dataset.cat_ids,
+            max_dets=(100, 300, 1000),
+        )
+        evaluator.evaluate(detections)
+        return ov_coco_summary(
+            evaluator, self.categories.num_bases, self.categories.num_novels
+        )
+
+    def _write_dump(self, img_id: int, out: dict, i: int) -> None:
+        valid = out['proposal_valid'][i]
+
+        def half(x):
+            # masked logits carry -1e10 (our finite -inf); store as the
+            # reference's literal -inf rather than overflow the cast
+            x = np.where(x < -1e9, -np.inf, x)
+            return x.astype(np.float16)
+
+        record = {
+            'bboxes': half(out['boxes'][i][valid]),
+            'bbox_logits': half(out['bbox_logits'][i][valid]),
+            'object_logits': half(out['object_logits'][i][valid]),
+            'objectness': half(out['objectness'][i][valid]),
+        }
+        self._dump[f'{img_id:012d}'] = record

@@ -85,7 +85,9 @@ def init_classifier(
             ),
             'b': jnp.zeros(d),
         },
-        'embeddings': jnp.asarray(embeddings, jnp.float32),
+        # copy=True: several heads share one prompt table; aliased
+        # buffers across params leaves break jit donation
+        'embeddings': jnp.array(embeddings, jnp.float32, copy=True),
     }
     if config.with_bg:
         b_bound = (6.0 / (1 + d)) ** 0.5

@@ -44,10 +44,11 @@ class ResNetConfig:
     frozen_stages: int = 1
     norm_eval: bool = True
     base_channels: int = 64
+    blocks: tuple | None = None  # override stage depths (tests/DRY_RUN)
 
     @property
     def stage_blocks(self) -> tuple:
-        return STAGE_BLOCKS[self.depth]
+        return self.blocks or STAGE_BLOCKS[self.depth]
 
     @property
     def out_channels(self) -> tuple:

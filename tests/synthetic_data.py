@@ -31,9 +31,11 @@ def make_synthetic_coco(
         d.mkdir(parents=True, exist_ok=True)
 
     images, annotations = [], []
+    # full OV-COCO taxonomy (65 classes); annotations only use the
+    # first 10 (base) classes
     categories = [
         dict(id=i + 1, name=name)
-        for i, name in enumerate(coco_categories.all_[:10])
+        for i, name in enumerate(coco_categories.all_)
     ]
     # deliberately unsorted ids to exercise id-sorting logic
     ids = [7, 3, 11, 5, 2, 13, 17, 19, 23, 29][:n_images]
@@ -92,3 +94,87 @@ def make_synthetic_coco(
         proposal_file=str(prop_file),
         ids=ids,
     )
+
+
+def make_synthetic_dp(
+    root: str | pathlib.Path,
+    split: str = 'val2017',
+    embedding_dim: int = 32,
+    seed: int = 0,
+) -> dict:
+    """On top of :func:`make_synthetic_coco`: OAKE feature stores
+    (globals/blocks/objects ``.pth`` per image) and prompt files, so the
+    DP train/test CLIs run end-to-end."""
+    from oadp_tpu.base import coco as coco_categories
+    from oadp_tpu.utils import save_pth
+
+    rng = np.random.RandomState(seed + 1)
+    root = pathlib.Path(root)
+    data = make_synthetic_coco(root, split=split, seed=seed)
+
+    oake = root / 'coco' / 'oake'
+    for id_ in data['ids']:
+        w, h = SIZES[id_ % len(SIZES)]
+        key = f'{id_:012d}.pth'
+        gdir = oake / 'globals' / split
+        bdir = oake / 'blocks' / split
+        odir = oake / 'objects' / split
+        for d in (gdir, bdir, odir):
+            d.mkdir(parents=True, exist_ok=True)
+
+        def emb(n):
+            e = rng.randn(n, embedding_dim).astype(np.float16)
+            return e / np.linalg.norm(
+                e.astype(np.float32), axis=-1, keepdims=True
+            ).astype(np.float16)
+
+        save_pth(emb(1)[0], gdir / key)
+        nb = 7
+        bx0 = rng.uniform(0, w * 0.5, nb)
+        by0 = rng.uniform(0, h * 0.5, nb)
+        bboxes = np.stack([
+            bx0, by0,
+            bx0 + rng.uniform(40, w * 0.5, nb),
+            by0 + rng.uniform(40, h * 0.5, nb),
+        ], -1).astype(np.float16)
+        save_pth(
+            dict(embeddings=emb(nb), bboxes=bboxes), bdir / key
+        )
+        no = 11
+        ox0 = rng.uniform(0, w * 0.6, no)
+        oy0 = rng.uniform(0, h * 0.6, no)
+        oboxes = np.stack([
+            ox0, oy0,
+            ox0 + rng.uniform(2, w * 0.3, no),  # some < 4px -> filtered
+            oy0 + rng.uniform(2, h * 0.3, no),
+        ], -1).astype(np.float16)
+        save_pth(
+            dict(
+                embeddings=emb(no),
+                bboxes=oboxes,
+                objectness=rng.rand(no, 1).astype(np.float16),
+            ),
+            odir / key,
+        )
+
+    prompts_dir = root / 'prompts'
+    prompts_dir.mkdir(exist_ok=True)
+    shuffled = list(coco_categories.all_)
+    rng.shuffle(shuffled)  # exercise name-order remapping
+    e = rng.randn(len(shuffled), embedding_dim).astype(np.float32)
+    e /= np.linalg.norm(e, axis=-1, keepdims=True)
+    save_pth(
+        dict(names=shuffled, embeddings=e), prompts_dir / 'vild.pth'
+    )
+    save_pth(
+        dict(
+            names=shuffled,
+            embeddings=e,
+            scaler=np.float32(50.0),
+            bias=np.float32(20.0),
+        ),
+        prompts_dir / 'ml.pth',
+    )
+    data['oake_root'] = str(oake)
+    data['prompts'] = str(prompts_dir)
+    return data

@@ -1,0 +1,155 @@
+"""DP stage end-to-end on synthetic data: train CLI (DRY_RUN), loss
+descent plumbing, checkpointing, test CLI with metrics, DUMP mode.
+"""
+
+import json
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+
+CFG_TEMPLATE = """
+categories = 'coco'
+model = dict(
+    prompts={vild!r},
+    ml_prompts={ml!r},
+    backbone_style='caffe',
+    with_global=True,
+    with_block=True,
+    sizes=dict(
+        base_channels=8,
+        fpn_channels=16,
+        fc_channels=32,
+        embedding_dim=32,
+        stage_blocks=(1, 1, 1, 1),
+    ),
+    overrides=dict(
+        rpn_samples=16,
+        rcnn_samples=16,
+        rpn_train_nms_pre=32,
+        rpn_train_max=16,
+        rpn_test_nms_pre=32,
+        rpn_test_max=16,
+        rcnn_max_per_img=8,
+    ),
+)
+trainer = dict(
+    dataloader=dict(
+        samples_per_gpu=1,
+        dataset=dict(
+            ann_file={ann!r},
+            img_prefix={img!r},
+            clip_features=dict(
+                globals_={oake!r} + '/globals/val2017',
+                blocks={oake!r} + '/blocks/val2017',
+                objects={oake!r} + '/objects/val2017',
+            ),
+        ),
+        batch=dict(
+            canvas=(192, 256),
+            scales=((240, 144), (240, 144)),
+            max_gts=8,
+            max_blocks=8,
+            max_objects=16,
+        ),
+    ),
+    optimizer=dict(
+        lr=0.001, momentum=0.9, weight_decay=2.5e-5,
+        paramwise=dict(bbox_head=dict(lr_mult=0.5)),
+    ),
+    lr_config=dict(by_epoch=False, step=[30000]),
+    runner=dict(type='IterBasedRunner', max_iters=40000),
+    log_config=dict(interval=1),
+    checkpoint_config=dict(by_epoch=False, interval=6),
+    evaluation=dict(interval=1000000),
+    seed=0,
+    bf16=False,
+    n_devices=1,
+)
+validator = dict(
+    dataloader=dict(
+        samples_per_gpu=1,
+        dataset=dict(ann_file={ann!r}, img_prefix={img!r}),
+        batch=dict(canvas=(192, 256), scale=(240, 144)),
+    ),
+)
+"""
+
+
+@pytest.fixture(scope='module')
+def workspace(tmp_path_factory):
+    from tests.synthetic_data import make_synthetic_dp
+
+    root = tmp_path_factory.mktemp('dp')
+    data = make_synthetic_dp(root)
+    cfg = root / 'config.py'
+    cfg.write_text(CFG_TEMPLATE.format(
+        vild=str(pathlib.Path(data['prompts']) / 'vild.pth'),
+        ml=str(pathlib.Path(data['prompts']) / 'ml.pth'),
+        ann=data['ann_file'],
+        img=data['root'],
+        oake=data['oake_root'],
+    ))
+    return root, cfg, data
+
+
+@pytest.fixture()
+def in_workdir(workspace, monkeypatch):
+    root, cfg, data = workspace
+    monkeypatch.chdir(root)
+    monkeypatch.setenv('DRY_RUN', '1')
+    # Store reads env at property access; nothing else to reset
+    return root, cfg, data
+
+
+def test_train_cli_dry_run(in_workdir):
+    root, cfg, data = in_workdir
+    from oadp_tpu.dp import train as train_cli
+    # DRY_RUN + max_iters override: run 7 iters so one checkpoint lands
+    train_cli.main([
+        'e2e', str(cfg),
+        '--override', '.trainer.runner.max_iters:7',
+    ])
+    work = root / 'work_dirs' / 'dry_run' / 'e2e'
+    assert (work / 'config.py').exists()
+    assert (work / 'latest.txt').exists()
+    log = (work / 'train.log').read_text()
+    assert 'iter 7/7' in log
+    # every loss present in the log line
+    for key in ('loss_rpn_cls', 'loss_cls', 'loss_clip_objects',
+                'loss_block', 'loss_global'):
+        assert key in log
+
+
+def test_test_cli_metrics(in_workdir):
+    root, cfg, data = in_workdir
+    from oadp_tpu.dp import test as test_cli
+    ckpt = root / 'work_dirs' / 'dry_run' / 'e2e' / 'latest.txt'
+    assert ckpt.exists(), 'run test_train_cli_dry_run first'
+    metrics = test_cli.main([str(cfg), str(ckpt)])
+    assert 'COCO_48_17_bbox_mAP_50' in metrics
+    assert 'COCO_17_bbox_mAP_50' in metrics
+    for v in metrics.values():
+        assert -1.0 <= float(v) <= 1.0
+
+
+def test_dump_mode(in_workdir, monkeypatch):
+    root, cfg, data = in_workdir
+    from oadp_tpu.dp import test as test_cli
+    dump_dir = root / 'dump'
+    monkeypatch.setenv('DUMP', str(dump_dir))
+    ckpt = root / 'work_dirs' / 'dry_run' / 'e2e' / 'latest.txt'
+    metrics = test_cli.main([str(cfg), str(ckpt)])
+    assert metrics == {}
+    files = sorted(dump_dir.glob('*.pth'))
+    assert len(files) == 3  # DRY_RUN: 3 images
+    record = torch.load(files[0], weights_only=False)
+    assert set(record) == {
+        'bboxes', 'bbox_logits', 'object_logits', 'objectness'
+    }
+    assert record['bbox_logits'].shape[-1] == 66  # 65 + bg
+    assert record['bbox_logits'].dtype == torch.float16
