@@ -1,0 +1,129 @@
+"""Periphery: BPE tokenizer, prompt builders, build_annotations."""
+
+import gzip
+import json
+
+import numpy as np
+import pytest
+
+from oadp_tpu.models.tokenizer import SimpleTokenizer, tokenize
+
+
+@pytest.fixture(scope='module')
+def tiny_tokenizer(tmp_path_factory):
+    """Miniature merges file: enough BPE to merge 'ca t' and 'cat</w>'."""
+    root = tmp_path_factory.mktemp('bpe')
+    merges = [
+        'version-marker',
+        'c a',
+        'ca t</w>',
+        'd o',
+        'do g</w>',
+        'p h',
+        'ph o',
+        'pho t',
+        'phot o</w>',
+    ]
+    path = root / 'bpe.txt.gz'
+    with gzip.open(path, 'wt') as f:
+        f.write('\n'.join(merges) + '\n')
+    return SimpleTokenizer(path)
+
+
+def test_bpe_merges_applied(tiny_tokenizer):
+    tok = tiny_tokenizer
+    ids = tok.encode('cat')
+    assert [tok.decoder[i] for i in ids] == ['cat</w>']
+    ids = tok.encode('dog cat')
+    assert [tok.decoder[i] for i in ids] == ['dog</w>', 'cat</w>']
+
+
+def test_unmerged_falls_back_to_bytes(tiny_tokenizer):
+    tok = tiny_tokenizer
+    ids = tok.encode('xyz')
+    pieces = [tok.decoder[i] for i in ids]
+    assert pieces == ['x', 'y', 'z</w>']
+
+
+def test_tokenize_matrix(tiny_tokenizer):
+    tok = tiny_tokenizer
+    out = tokenize(['cat', 'dog dog'], tok, context_length=8)
+    assert out.shape == (2, 8)
+    assert (out[:, 0] == tok.sot).all()
+    assert out[0, 2] == tok.eot
+    assert out[0, 3:].sum() == 0  # zero padded
+    assert out[1, 3] == tok.eot
+
+
+def test_tokenize_truncation(tiny_tokenizer):
+    tok = tiny_tokenizer
+    out = tokenize(['cat ' * 50], tok, context_length=8, truncate=True)
+    assert out.shape == (1, 8)
+    assert out[0, -1] == tok.eot
+    with pytest.raises(ValueError):
+        tokenize(['cat ' * 50], tok, context_length=8, truncate=False)
+
+
+def test_case_and_whitespace_cleaning(tiny_tokenizer):
+    tok = tiny_tokenizer
+    assert tok.encode('  CAT \n dog ') == tok.encode('cat dog')
+
+
+def test_vild_prompt_builder_mean_of_normalized(tiny_tokenizer):
+    import jax
+    from oadp_tpu.models import clip as C
+    from oadp_tpu.prompts.vild import build_vild_prompts
+
+    config = C.TextConfig(
+        context_length=16, vocab_size=len(tiny_tokenizer.encoder),
+        width=32, layers=2, heads=2, output_dim=16,
+    )
+    params = C.init_text_params(jax.random.key(0), config)
+    names = ['cat', 'dog']
+    emb = build_vild_prompts(
+        params, tiny_tokenizer, names, config, batch_size=2,
+        prompts=['a photo of a {}', 'This is a {}'],
+    )
+    assert emb.shape == (2, 16)
+    # mean of unit vectors: norm <= 1, and > 0
+    norms = np.linalg.norm(emb, axis=-1)
+    assert (norms <= 1.0 + 1e-5).all() and (norms > 0.1).all()
+
+
+def test_build_annotations(tmp_path):
+    from oadp_tpu.base import coco
+    from oadp_tpu.build_annotations import COCOBuilder
+
+    names = coco.all_
+    # ann file with shuffled original ids
+    cats = [
+        dict(id=100 + i, name=name) for i, name in enumerate(names)
+    ]
+    anns = [
+        dict(id=1, image_id=1, category_id=100 + names.index(names[0]),
+             bbox=[0, 0, 10, 10], area=100, iscrowd=0),
+        # a novel-category annotation (index >= num_bases)
+        dict(id=2, image_id=2,
+             category_id=100 + coco.num_bases,
+             bbox=[0, 0, 10, 10], area=100, iscrowd=0),
+    ]
+    data = dict(
+        images=[dict(id=1), dict(id=2), dict(id=3)],
+        annotations=anns,
+        categories=cats,
+    )
+    (tmp_path / 'instances_val2017.json').write_text(json.dumps(data))
+    COCOBuilder(str(tmp_path)).build('instances_val2017.json', min=True)
+
+    full = json.loads((tmp_path / 'instances_val2017.65.json').read_text())
+    assert [c['id'] for c in full['categories']] == list(range(65))
+    assert full['annotations'][0]['category_id'] == 0
+    assert full['annotations'][1]['category_id'] == coco.num_bases
+
+    base = json.loads((tmp_path / 'instances_val2017.48.json').read_text())
+    assert len(base['annotations']) == 1  # novel ann filtered
+
+    minimal = json.loads(
+        (tmp_path / 'instances_val2017.65.min.json').read_text()
+    )
+    assert [i['id'] for i in minimal['images']] == [1, 2]  # img 3 empty
