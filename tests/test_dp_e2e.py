@@ -153,3 +153,25 @@ def test_dump_mode(in_workdir, monkeypatch):
     }
     assert record['bbox_logits'].shape[-1] == 66  # 65 + bg
     assert record['bbox_logits'].dtype == torch.float16
+
+
+def test_calibration_trial(in_workdir):
+    """Re-score the DUMP records with the reference-default ensemble
+    params (reference oadp/dp/test_nni.py:179-189)."""
+    root, cfg, data = in_workdir
+    dump_dir = root / 'dump'
+    assert dump_dir.exists(), 'run test_dump_mode first'
+    from oadp_tpu.dp.test_calibrate import (
+        DEFAULT_PARAMS, CalibrationRunner,
+    )
+    from oadp_tpu.utils import Config
+    runner = CalibrationRunner(
+        Config.load(cfg), str(dump_dir), batch_size=2, max_proposals=16
+    )
+    metrics = runner.run_trial(dict(DEFAULT_PARAMS))
+    assert 'COCO_48_bbox_mAP_50' in metrics
+    # different params change the ensemble (plumbing check)
+    params2 = dict(DEFAULT_PARAMS, objectness_gamma=1.0,
+                   bbox_base_scaler=0.3)
+    metrics2 = runner.run_trial(params2)
+    assert set(metrics2) == set(metrics)
