@@ -1,0 +1,19 @@
+# OADP on OV-LVIS (reference configs/dp/oadp_ov_lvis.py): Mask R-CNN
+# with DetPro prompts, ViLD classifiers on every head, 2x schedule.
+_base_ = [
+    'datasets/ov_lvis.py',
+    'schedules/2x.py',
+    'base.py',
+]
+
+model = dict(
+    prompts='data/prompts/detpro_lvis.pth',
+    ml_prompts='data/prompts/detpro_lvis.pth',
+    backbone_style='caffe',
+    with_global=True,
+    with_block=True,
+    with_mask=True,
+    head_cls_mode='vild',
+    # reference oadp_ov_lvis.py:13-17: train 0.01 / val 0.007
+    vild_scaler=dict(train=0.01, val=0.007),
+)

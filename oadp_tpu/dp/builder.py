@@ -107,11 +107,14 @@ def build_detector(
 ) -> DetectorBundle:
     """``model_cfg`` mirrors the reference model config surface:
     prompts, scalers, head toggles, optional size overrides."""
+    emb_dim = model_cfg.get('sizes', {}).get('embedding_dim', 512)
     bbox_prompts = load_prompts(
-        model_cfg.get('prompts', 'data/prompts/vild.pth'), categories
+        model_cfg.get('prompts', 'data/prompts/vild.pth'), categories,
+        embedding_dim=emb_dim,
     )
     ml = load_prompts(
-        model_cfg.get('ml_prompts', 'data/prompts/ml_coco.pth'), categories
+        model_cfg.get('ml_prompts', 'data/prompts/ml_coco.pth'),
+        categories, embedding_dim=emb_dim,
     )
     vild_scaler = model_cfg.get('vild_scaler', {})
     config = DET.DetectorConfig.build(
@@ -119,11 +122,13 @@ def build_detector(
         categories.num_all,
         with_global=model_cfg.get('with_global', True),
         with_block=model_cfg.get('with_block', True),
+        with_mask=model_cfg.get('with_mask', False),
         backbone_style=model_cfg.get('backbone_style', 'caffe'),
         vild_scaler_train=vild_scaler.get('train', 0.007),
         vild_scaler_val=vild_scaler.get('val', 0.01),
         cls_scaler=ml.get('scaler', 1.0),
         cls_bias=ml.get('bias', 0.0),
+        head_cls_mode=model_cfg.get('head_cls_mode', 'affine'),
         **model_cfg.get('overrides', {}),
     )
     config = _apply_size_overrides(config, model_cfg)
@@ -175,6 +180,9 @@ def _apply_size_overrides(
         block_head=head(config.block_head),
         global_cls=dataclasses.replace(
             config.global_cls, in_features=fpn_ch, embedding_dim=emb
+        ),
+        mask_head=dataclasses.replace(
+            config.mask_head, in_channels=fpn_ch, conv_channels=fpn_ch
         ),
     )
 

@@ -84,6 +84,11 @@ class CocoEvaluator:
                 self._gts[keyed].append(ann)
         self.eval: dict = {}
 
+    def _pair_ious(self, dts, gts, iscrowd) -> np.ndarray:
+        d_boxes = np.array([d['bbox'] for d in dts]).reshape(-1, 4)
+        g_boxes = np.array([g['bbox'] for g in gts]).reshape(-1, 4)
+        return _iou_xywh(d_boxes, g_boxes, iscrowd)
+
     # -- per (img, cat) matching ------------------------------------------
 
     def _evaluate_img(self, dts, gts, area_rng, max_det):
@@ -108,8 +113,7 @@ class CocoEvaluator:
         dts = [dts[i] for i in d_order]
 
         d_boxes = np.array([d['bbox'] for d in dts]).reshape(-1, 4)
-        g_boxes = np.array([g['bbox'] for g in gts]).reshape(-1, 4)
-        ious = _iou_xywh(d_boxes, g_boxes, iscrowd)
+        ious = self._pair_ious(dts, gts, iscrowd)
 
         nd, ng = len(dts), len(gts)
         dtm = np.zeros((t, nd), np.int64)

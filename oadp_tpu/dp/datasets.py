@@ -24,6 +24,7 @@ Replaces the reference's mmdet dataset + pipeline stack
 
 __all__ = [
     'CocoDetDataset',
+    'ClassBalancedWrapper',
     'LoadClipFeatures',
     'TrainTransform',
     'TestTransform',
@@ -61,11 +62,13 @@ class CocoDetDataset:
         test_mode: bool = False,
         filter_empty_gt: bool = True,
         clip_features: 'LoadClipFeatures | None' = None,
+        with_mask: bool = False,
     ) -> None:
         self.img_prefix = pathlib.Path(img_prefix)
         self.categories = categories
         self.test_mode = test_mode
         self.clip_features = clip_features
+        self.with_mask = with_mask
         with open(ann_file) as f:
             data = json.load(f)
         self.dataset = data
@@ -96,12 +99,21 @@ class CocoDetDataset:
         info = self.images[idx]
         return 0 if info['width'] >= info['height'] else 1
 
+    def file_name(self, info: dict) -> str:
+        # LVIS images carry only coco_url (reference
+        # ``oadp/oake/objects.py:192-195``)
+        if 'file_name' in info:
+            return info['file_name']
+        return info['coco_url'].replace(
+            'http://images.cocodataset.org/', ''
+        )
+
     def __getitem__(self, idx: int) -> dict[str, Any]:
         info = self.images[idx]
-        path = self.img_prefix / info['file_name']
+        path = self.img_prefix / self.file_name(info)
         with PIL.Image.open(path) as img:
             image = np.asarray(img.convert('RGB'))
-        boxes, labels = [], []
+        boxes, labels, polygons = [], [], []
         for ann in self.anns_by_img.get(info['id'], []):
             if ann.get('iscrowd', 0) and not self.test_mode:
                 continue
@@ -110,6 +122,9 @@ class CocoDetDataset:
                 continue
             boxes.append([x, y, x + w, y + h])
             labels.append(self.cat2label[ann['category_id']])
+            if self.with_mask:
+                seg = ann.get('segmentation') or []
+                polygons.append(seg if isinstance(seg, list) else [])
         sample = {
             'image_id': info['id'],
             'image': image,
@@ -117,6 +132,8 @@ class CocoDetDataset:
             'gt_labels': np.asarray(labels, np.int64),
             'bbox_fields': ['gt_boxes'],
         }
+        if self.with_mask:
+            sample['gt_polygons'] = polygons
         if self.clip_features is not None:
             sample = self.clip_features(sample, self.categories)
         return sample
@@ -237,6 +254,15 @@ def resize_keep_ratio(
     scale = np.asarray([wr, hr, wr, hr], np.float32)
     for field in sample['bbox_fields']:
         sample[field] = sample[field] * scale
+    if 'gt_polygons' in sample:
+        sample['gt_polygons'] = [
+            [
+                (np.asarray(p, np.float64).reshape(-1, 2)
+                 * [wr, hr]).reshape(-1)
+                for p in inst
+            ]
+            for inst in sample['gt_polygons']
+        ]
     sample['scale_factor'] = scale
     sample['img_hw'] = np.asarray([new_h, new_w], np.float32)
     return sample
@@ -251,6 +277,16 @@ def flip_horizontal(sample: dict[str, Any]) -> dict[str, Any]:
         boxes[..., 0] = w - sample[field][..., 2]
         boxes[..., 2] = w - sample[field][..., 0]
         sample[field] = boxes
+    if 'gt_polygons' in sample:
+        def flip_part(p):
+            pts = np.asarray(p, np.float64).reshape(-1, 2)
+            pts[:, 0] = w - pts[:, 0]
+            return pts.reshape(-1)
+
+        sample['gt_polygons'] = [
+            [flip_part(p) for p in inst]
+            for inst in sample['gt_polygons']
+        ]
     return sample
 
 
@@ -273,6 +309,9 @@ class BatchBuilder:
         embedding_dim: int = 512,
         num_all: int = 65,
         with_clip: bool = True,
+        with_mask: bool = False,
+        max_polygon_parts: int = 8,
+        max_polygon_verts: int = 96,
     ) -> None:
         self.canvas = canvas
         self.max_gts = max_gts
@@ -281,6 +320,9 @@ class BatchBuilder:
         self.embedding_dim = embedding_dim
         self.num_all = num_all
         self.with_clip = with_clip
+        self.with_mask = with_mask
+        self.max_polygon_parts = max_polygon_parts
+        self.max_polygon_verts = max_polygon_verts
 
     def _canvas_for(self, samples) -> tuple[int, int]:
         h, w = self.canvas
@@ -320,6 +362,23 @@ class BatchBuilder:
             m = min(len(s['gt_labels']), self.max_gts)
             gt_labels[i, :m] = s['gt_labels'][:m]
 
+        gt_polygons = None
+        if self.with_mask:
+            from ..ops.masks import resample_polygons
+            gt_polygons = np.full(
+                (b, self.max_gts, self.max_polygon_parts,
+                 self.max_polygon_verts, 2),
+                -1e6, np.float32,
+            )
+            for i, s in enumerate(samples):
+                for gi, inst in enumerate(
+                    s.get('gt_polygons', [])[:self.max_gts]
+                ):
+                    gt_polygons[i, gi] = resample_polygons(
+                        inst, self.max_polygon_parts,
+                        self.max_polygon_verts,
+                    )
+
         batch = {
             'images': images,
             'img_hw': img_hw,
@@ -331,6 +390,8 @@ class BatchBuilder:
                 [s['scale_factor'] for s in samples]
             ),
         }
+        if gt_polygons is not None:
+            batch['gt_polygons'] = gt_polygons
         if self.with_clip:
             batch['clip_global'] = np.stack([
                 s.get('clip_global', np.zeros(d, np.float32))
@@ -358,6 +419,48 @@ class BatchBuilder:
                 'clip_objects', self.max_objects, (d,)
             )
         return batch
+
+
+class ClassBalancedWrapper:
+    """mmdet ``ClassBalancedDataset`` (LVIS oversampling, reference
+    ``configs/dp/datasets/ov_lvis.py:19-21``): image repeat factor =
+    ``max_c max(1, sqrt(thr / freq(c)))`` over its categories."""
+
+    def __init__(self, dataset: CocoDetDataset, oversample_thr: float):
+        self.dataset = dataset
+        n = len(dataset)
+        freq: dict[int, float] = {}
+        img_cats = []
+        for info in dataset.images:
+            cats = {
+                dataset.cat2label[a['category_id']]
+                for a in dataset.anns_by_img.get(info['id'], [])
+            }
+            img_cats.append(cats)
+            for c in cats:
+                freq[c] = freq.get(c, 0) + 1
+        freq = {c: v / n for c, v in freq.items()}
+        cat_repeat = {
+            c: max(1.0, (oversample_thr / f) ** 0.5)
+            for c, f in freq.items()
+        }
+        self._indices: list[int] = []
+        rng = np.random.RandomState(0)
+        for i, cats in enumerate(img_cats):
+            r = max([cat_repeat[c] for c in cats], default=1.0)
+            n_rep = int(np.floor(r))
+            if rng.rand() < (r - n_rep):
+                n_rep += 1
+            self._indices.extend([i] * max(n_rep, 1))
+
+    def __len__(self) -> int:
+        return len(self._indices)
+
+    def aspect_group(self, idx: int) -> int:
+        return self.dataset.aspect_group(self._indices[idx])
+
+    def __getitem__(self, idx: int):
+        return self.dataset[self._indices[idx]]
 
 
 class Loader:

@@ -27,6 +27,7 @@ from ..utils import PthAccessLayer, Store, logger
 from .builder import canvas_anchors
 from .coco_eval import CocoEvaluator, ov_coco_summary
 from .datasets import BatchBuilder, CocoDetDataset, Loader, TestTransform
+from .lvis_eval import LvisEvaluator, ov_lvis_summary
 
 
 class DetEvaluator:
@@ -40,12 +41,14 @@ class DetEvaluator:
         canvas: tuple[int, int] = (832, 1344),
         scale: tuple[int, int] = (1333, 800),
         bf16: bool = False,
+        eval_type: str = 'ov_coco',
     ) -> None:
         self.dataset = dataset
         self.config = config
         self.categories = categories
         self.batch_size = batch_size
         self.bf16 = bf16
+        self.eval_type = eval_type
         builder = BatchBuilder(
             canvas=canvas, with_clip=False,
             num_all=categories.num_all,
@@ -110,11 +113,12 @@ class DetEvaluator:
                 dets = out['dets'][i]
                 valid = out['valid'][i]
                 labels = out['labels'][i]
+                masks = out.get('masks')
                 boxes = dets[:, :4] / scale[i]  # back to original coords
                 res = []
                 for j in np.nonzero(valid)[0]:
                     x0, y0, x1, y1 = boxes[j]
-                    res.append(dict(
+                    det = dict(
                         image_id=img_id,
                         category_id=self.dataset.cat_ids[int(labels[j])],
                         bbox=[
@@ -122,7 +126,10 @@ class DetEvaluator:
                             float(x1 - x0), float(y1 - y0),
                         ],
                         score=float(dets[j, 4]),
-                    ))
+                    )
+                    if masks is not None:
+                        det['mask'] = masks[i, j]
+                    res.append(det)
                 results[img_id] = res
             n_done += b
             if n_done % (50 * self.batch_size) == 0:
@@ -133,6 +140,22 @@ class DetEvaluator:
                         len(results))
             return {}
         detections = [d for res in results.values() for d in res]
+        if self.eval_type == 'lvis':
+            metrics = {}
+            bbox_eval = LvisEvaluator(
+                self.dataset.dataset, self.dataset.cat_ids,
+                iou_type='bbox',
+            )
+            bbox_eval.evaluate(detections)
+            metrics.update(ov_lvis_summary(bbox_eval))
+            if detections and 'mask' in detections[0]:
+                segm_eval = LvisEvaluator(
+                    self.dataset.dataset, self.dataset.cat_ids,
+                    iou_type='segm',
+                )
+                segm_eval.evaluate(detections)
+                metrics.update(ov_lvis_summary(segm_eval))
+            return metrics
         evaluator = CocoEvaluator(
             self.dataset.dataset, self.dataset.cat_ids,
             max_dets=(100, 300, 1000),

@@ -67,6 +67,7 @@ def main(argv=None) -> dict:
               or jax.local_device_count()),
         canvas=tuple(batch_cfg.get('canvas', (832, 1344))),
         scale=tuple(batch_cfg.get('scale', (1333, 800))),
+        eval_type='lvis' if config.categories == 'lvis' else 'ov_coco',
         bf16=bool(config.get('validator', Config()).get('bf16', False)),
     )
     metrics = evaluator.run(bundle.params, bundle.stats)

@@ -20,6 +20,7 @@ from ..utils import Config, DictAction, Store, add_file_handler, logger
 from .builder import build_detector
 from .datasets import (
     BatchBuilder,
+    ClassBalancedWrapper,
     CocoDetDataset,
     LoadClipFeatures,
     Loader,
@@ -54,12 +55,18 @@ def build_train_loader(config: Config, categories, model_cfg) -> Loader:
     clip = None
     if 'clip_features' in ds_cfg:
         clip = LoadClipFeatures(**ds_cfg.clip_features)
+    with_mask = bool(model_cfg.get('with_mask', False))
     dataset = CocoDetDataset(
         ds_cfg.ann_file,
         ds_cfg.img_prefix,
         categories,
         clip_features=clip,
+        with_mask=with_mask,
     )
+    if ds_cfg.get('oversample_thr'):
+        dataset = ClassBalancedWrapper(
+            dataset, float(ds_cfg.oversample_thr)
+        )
     batch_cfg = config.trainer.dataloader.get('batch', Config())
     builder = BatchBuilder(
         canvas=tuple(batch_cfg.get('canvas', (832, 1344))),
@@ -69,6 +76,9 @@ def build_train_loader(config: Config, categories, model_cfg) -> Loader:
         embedding_dim=model_cfg.get('sizes', {}).get('embedding_dim', 512),
         num_all=categories.num_all,
         with_clip=clip is not None,
+        with_mask=with_mask,
+        max_polygon_parts=batch_cfg.get('max_polygon_parts', 8),
+        max_polygon_verts=batch_cfg.get('max_polygon_verts', 96),
     )
     samples_per_device = int(
         config.trainer.dataloader.get('samples_per_gpu', 2)
@@ -107,6 +117,7 @@ def build_evaluator(config: Config, categories, bundle, bf16: bool):
         )) * _n_devices(config),
         canvas=tuple(batch_cfg.get('canvas', (832, 1344))),
         scale=tuple(batch_cfg.get('scale', (1333, 800))),
+        eval_type='lvis' if config.categories == 'lvis' else 'ov_coco',
         bf16=bf16,
     )
 

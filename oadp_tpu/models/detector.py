@@ -49,6 +49,12 @@ from .heads import (
     init_convfc_head,
     init_global_head,
 )
+from .mask_head import (
+    MaskHeadConfig,
+    init_mask_head,
+    mask_head_forward,
+    mask_loss,
+)
 
 Params = dict[str, Any]
 
@@ -62,6 +68,8 @@ class DetectorConfig:
     anchor_generator: AnchorGenerator = AnchorGenerator()
     with_global: bool = True
     with_block: bool = True
+    with_mask: bool = False
+    mask_head: MaskHeadConfig = MaskHeadConfig()
     # heads (classifier sub-configs are derived in __post_init__ callers)
     bbox_head: HeadConfig = None  # type: ignore[assignment]
     object_head: HeadConfig = None  # type: ignore[assignment]
@@ -103,30 +111,42 @@ class DetectorConfig:
         num_all: int,
         with_global: bool = True,
         with_block: bool = True,
+        with_mask: bool = False,
         backbone_style: str = 'caffe',
         vild_scaler_train: float = 0.007,
         vild_scaler_val: float = 0.01,
         cls_scaler: float = 1.0,
         cls_bias: float = 0.0,
+        head_cls_mode: str = 'affine',
         **overrides,
     ) -> 'DetectorConfig':
-        """Assemble the OADP/ViLD head configuration (reference
-        ``configs/dp/oadp_ov_coco.py``)."""
+        """Assemble the OADP/ViLD head configuration.
+
+        ``head_cls_mode`` selects the object/block/global classifier:
+        'affine' = Classifier with scaler/bias from ml_coco.pth
+        (OV-COCO, reference ``configs/dp/oadp_ov_coco.py``); 'vild' =
+        ViLDClassifier with the same temperature as the bbox head
+        (OV-LVIS, reference ``configs/dp/oadp_ov_lvis.py``)."""
         vild = ClassifierConfig(
             in_features=1024, num_bases=num_bases, num_all=num_all,
             with_bg=True, mode='vild',
             scaler_train=vild_scaler_train, scaler_val=vild_scaler_val,
         )
-        affine = ClassifierConfig(
-            in_features=1024, num_bases=num_bases, num_all=num_all,
-            with_bg=True, mode='affine', scaler=cls_scaler, bias=cls_bias,
-        )
+        if head_cls_mode == 'vild':
+            affine = vild
+        else:
+            affine = ClassifierConfig(
+                in_features=1024, num_bases=num_bases, num_all=num_all,
+                with_bg=True, mode='affine',
+                scaler=cls_scaler, bias=cls_bias,
+            )
         return DetectorConfig(
             num_bases=num_bases,
             num_all=num_all,
             backbone=RN.ResNetConfig(style=backbone_style),
             with_global=with_global,
             with_block=with_block,
+            with_mask=with_mask,
             bbox_head=HeadConfig(
                 num_convs=4, num_fcs=1, with_reg=True,
                 reg_class_agnostic=True, classifier=vild,
@@ -192,6 +212,10 @@ def init_detector(
     if config.with_global:
         params['global_head'] = init_global_head(
             ks[6], ml_embeddings, config.global_cls
+        )
+    if config.with_mask:
+        params['mask_head'] = init_mask_head(
+            jax.random.fold_in(key, 7), config.mask_head
         )
     return params, stats
 
@@ -277,9 +301,11 @@ def forward_train(
         reg_targets = encode_deltas(
             rois, gts[gt_idx], stds=config.bbox_reg_stds
         )
-        return rois, labels, reg_targets, sel_valid, is_pos
+        return rois, labels, reg_targets, sel_valid, is_pos, gt_idx
 
-    rois, labels, reg_targets, sel_valid, is_pos = jax.vmap(sample_one)(
+    (
+        rois, labels, reg_targets, sel_valid, is_pos, roi_gt_idx
+    ) = jax.vmap(sample_one)(
         jax.random.split(k_rcnn, b), cand, cand_valid,
         gt_boxes, gt_valid, batch['gt_labels'],
     )
@@ -306,6 +332,31 @@ def forward_train(
     losses['loss_bbox'] = (
         jnp.abs(reg - reg_t).sum(-1) * pos_f.astype(jnp.float32)
     ).sum() / n_samples
+
+    # --- mask head (LVIS instance segmentation) ------------------------
+    if config.with_mask:
+        mc = config.mask_head
+        from ..ops.masks import rasterize_in_boxes
+
+        def mask_one(feats, im_rois, im_polys, im_assigned):
+            feats14 = roi_align_fpn(feats, im_rois, out_size=mc.roi_size)
+            targets = rasterize_in_boxes(
+                im_polys, im_assigned, im_rois, mc.mask_size
+            )
+            return feats14, targets
+
+        mask_feats, mask_targets = jax.vmap(mask_one)(
+            pyramid, rois, batch['gt_polygons'], roi_gt_idx
+        )
+        mask_logits = mask_head_forward(
+            params['mask_head'],
+            mask_feats.reshape(b * r, *mask_feats.shape[2:]),
+        )
+        losses['loss_mask'] = mask_loss(
+            mask_logits,
+            mask_targets.reshape(b * r, mc.mask_size, mc.mask_size),
+            pos_f,
+        )
 
     # --- object head distillation -------------------------------------
     obj_feats = _roi_feats(pyramid, batch['object_boxes'])
@@ -443,10 +494,27 @@ def simple_test(
     dets, det_labels, det_rows, det_valid = jax.vmap(nms_one)(
         boxes, probs, prop_valid
     )
+    out_masks = None
+    if config.with_mask:
+        mc = config.mask_head
+        m = dets.shape[1]
+        mask_feats = jax.vmap(
+            lambda feats, bx: roi_align_fpn(
+                feats, bx, out_size=mc.roi_size
+            )
+        )(pyramid, dets[..., :4])
+        mask_logits = mask_head_forward(
+            params['mask_head'],
+            mask_feats.reshape(b * m, *mask_feats.shape[2:]),
+        )
+        out_masks = jax.nn.sigmoid(
+            mask_logits.astype(jnp.float32)
+        ).reshape(b, m, mc.mask_size, mc.mask_size)
     return {
         'dets': dets,
         'labels': det_labels,
         'valid': det_valid,
+        'masks': out_masks,
         # DUMP-mode record (reference roi_heads.py:131-166)
         'boxes': boxes,
         'bbox_logits': bbox_logits,

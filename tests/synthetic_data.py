@@ -178,3 +178,108 @@ def make_synthetic_dp(
     data['oake_root'] = str(oake)
     data['prompts'] = str(prompts_dir)
     return data
+
+
+def make_synthetic_lvis(
+    root: str | pathlib.Path,
+    n_images: int = 4,
+    embedding_dim: int = 32,
+    seed: int = 0,
+) -> dict:
+    """LVIS-style workspace: images addressed by coco_url, polygon
+    segmentations, neg_category_ids, per-category frequency bands, and
+    OAKE feature stores."""
+    from oadp_tpu.base import lvis as lvis_categories
+    from oadp_tpu.utils import save_pth
+
+    rng = np.random.RandomState(seed)
+    root = pathlib.Path(root)
+    img_dir = root / 'lvis' / 'train2017'
+    ann_dir = root / 'lvis' / 'annotations'
+    oake = root / 'lvis' / 'oake'
+    for d in (img_dir, ann_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    names = lvis_categories.all_
+    categories = [
+        dict(id=i, name=n, frequency='rcf'[i % 3])
+        for i, n in enumerate(names)
+    ]
+    images, annotations = [], []
+    ids = [11, 4, 9, 6][:n_images]
+    for id_ in ids:
+        w, h = SIZES[id_ % len(SIZES)]
+        arr = rng.randint(0, 256, (h, w, 3), np.uint8)
+        name = f'{id_:012d}.jpg'
+        PIL.Image.fromarray(arr).save(img_dir / name, quality=90)
+        images.append(dict(
+            id=id_,
+            width=w,
+            height=h,
+            coco_url=f'http://images.cocodataset.org/train2017/{name}',
+            neg_category_ids=[int(c) for c in rng.choice(
+                len(names), 5, replace=False
+            )],
+            not_exhaustive_category_ids=[],
+        ))
+        for k in range(3):
+            x0 = float(rng.uniform(0, w * 0.5))
+            y0 = float(rng.uniform(0, h * 0.5))
+            bw = float(rng.uniform(20, w * 0.4))
+            bh = float(rng.uniform(20, h * 0.4))
+            # triangle polygon inside the box
+            poly = [x0, y0, x0 + bw, y0, x0 + bw / 2, y0 + bh]
+            annotations.append(dict(
+                id=len(annotations) + 1,
+                image_id=id_,
+                category_id=int(rng.randint(0, 20)),  # base classes
+                bbox=[x0, y0, bw, bh],
+                area=bw * bh / 2,
+                segmentation=[poly],
+            ))
+
+    ann_file = ann_dir / 'lvis_train.json'
+    ann_file.write_text(json.dumps(dict(
+        images=images, annotations=annotations, categories=categories,
+    )))
+
+    for id_ in ids:
+        key = f'{id_:012d}.pth'
+        w, h = SIZES[id_ % len(SIZES)]
+        for sub in ('globals', 'blocks', 'objects'):
+            (oake / sub / 'train2017').mkdir(parents=True, exist_ok=True)
+
+        def emb(n):
+            e = rng.randn(n, embedding_dim).astype(np.float16)
+            return e
+
+        save_pth(emb(1)[0], oake / 'globals' / 'train2017' / key)
+        bx = rng.uniform(0, w * 0.4, 5)
+        by = rng.uniform(0, h * 0.4, 5)
+        save_pth(
+            dict(
+                embeddings=emb(5),
+                bboxes=np.stack(
+                    [bx, by, bx + 50, by + 50], -1
+                ).astype(np.float16),
+            ),
+            oake / 'blocks' / 'train2017' / key,
+        )
+        ox = np.resize(bx, 6)
+        oy = np.resize(by, 6)
+        save_pth(
+            dict(
+                embeddings=emb(6),
+                bboxes=np.stack(
+                    [ox, oy, ox + 30, oy + 30], -1
+                ).astype(np.float16),
+                objectness=rng.rand(6, 1).astype(np.float16),
+            ),
+            oake / 'objects' / 'train2017' / key,
+        )
+    return dict(
+        root=str(root / 'lvis'),
+        ann_file=str(ann_file),
+        oake_root=str(oake),
+        ids=ids,
+    )

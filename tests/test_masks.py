@@ -1,0 +1,142 @@
+"""Mask ops: polygon resampling, device rasterization, paste/IoU; the
+FCN mask head; LVIS evaluation rules."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from oadp_tpu.ops import masks as M
+
+
+def test_resample_polygons_preserves_square():
+    square = [0.0, 0, 10, 0, 10, 10, 0, 10]
+    out = M.resample_polygons([square], n_parts=2, n_verts=16)
+    assert out.shape == (2, 16, 2)
+    # all resampled points on the square's perimeter
+    pts = out[0]
+    on_edge = (
+        (np.isclose(pts[:, 0], 0) | np.isclose(pts[:, 0], 10)
+         | np.isclose(pts[:, 1], 0) | np.isclose(pts[:, 1], 10))
+        & (pts >= -1e-6).all(-1) & (pts <= 10 + 1e-6).all(-1)
+    )
+    assert on_edge.all()
+    # padding slot far away
+    assert (out[1] < -1e5).all()
+
+
+def test_rasterize_in_boxes_square():
+    # square polygon [2,2]-[8,8]; roi covers [0,10]^2 at 10x10 grid
+    poly = M.resample_polygons([[2.0, 2, 8, 2, 8, 8, 2, 8]], 2, 32)
+    polys = jnp.asarray(poly[None])  # (G=1, P, V, 2)
+    boxes = jnp.asarray([[0.0, 0, 10, 10]])
+    out = np.asarray(M.rasterize_in_boxes(
+        polys, jnp.asarray([0]), boxes, out_size=10
+    ))[0]
+    # grid centers at .5, 1.5, ...: inside for centers in (2, 8)
+    expected = np.zeros((10, 10))
+    expected[3:8, 3:8] = 1  # centers 2.5..7.5... wait 2.5 > 2 -> idx 2
+    expected = np.zeros((10, 10))
+    for i in range(10):
+        for j in range(10):
+            cy, cx = i + 0.5, j + 0.5
+            expected[i, j] = (2 < cx < 8) and (2 < cy < 8)
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_polygon_raster_np_matches_device():
+    rng = np.random.default_rng(0)
+    # random star-shaped polygon
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 12))
+    radii = rng.uniform(3, 10, 12)
+    pts = np.stack(
+        [15 + radii * np.cos(angles), 15 + radii * np.sin(angles)], -1
+    )
+    poly_flat = pts.reshape(-1).tolist()
+    host = M.polygon_raster_np([poly_flat], 0, 0, 30, 30)
+
+    dev_poly = M.resample_polygons([poly_flat], 1, 128)
+    dev = np.asarray(M.rasterize_in_boxes(
+        jnp.asarray(dev_poly[None]), jnp.asarray([0]),
+        jnp.asarray([[0.0, 0, 30, 30]]), out_size=30,
+    ))[0]
+    # resampling may wiggle the boundary by a pixel; interiors agree
+    agree = (host == dev.astype(bool)).mean()
+    assert agree > 0.97, agree
+
+
+def test_paste_mask_np_identity():
+    mask = np.zeros((4, 4), np.float32)
+    mask[1:3, 1:3] = 1.0
+    out = M.paste_mask_np(mask, np.asarray([0.0, 0, 8, 8]), 0, 0, 8, 8)
+    # center 4x4 block (mask upsampled 2x)
+    assert out[3:5, 3:5].all()
+    assert not out[0].any() and not out[:, 0].any()
+
+
+def test_mask_iou_pairs_exact():
+    # det mask = full box [0,10]^2; gt = same square polygon -> IoU ~1
+    full = np.ones((28, 28), np.float32)
+    dt = [(full, np.asarray([0.0, 0, 10, 10]))]
+    gt_polys = [[[0.0, 0, 10, 0, 10, 10, 0, 10]]]
+    gt_boxes = np.asarray([[0.0, 0, 10, 10]])
+    iou = M.mask_iou_pairs(dt, gt_polys, gt_boxes, np.zeros(1, bool))
+    assert iou[0, 0] > 0.8
+    # disjoint gt
+    gt_polys2 = [[[100.0, 100, 110, 100, 110, 110, 100, 110]]]
+    gt_boxes2 = np.asarray([[100.0, 100, 110, 110]])
+    iou2 = M.mask_iou_pairs(dt, gt_polys2, gt_boxes2, np.zeros(1, bool))
+    assert iou2[0, 0] == 0.0
+
+
+def test_mask_head_shapes_and_loss():
+    from oadp_tpu.models.mask_head import (
+        MaskHeadConfig, init_mask_head, mask_head_forward, mask_loss,
+    )
+    cfg = MaskHeadConfig(num_convs=2, in_channels=8, conv_channels=8)
+    params = init_mask_head(jax.random.key(0), cfg)
+    x = jnp.ones((3, 14, 14, 8))
+    logits = mask_head_forward(params, x)
+    assert logits.shape == (3, 28, 28)
+    targets = jnp.zeros((3, 28, 28))
+    loss = mask_loss(logits, targets, jnp.asarray([True, True, False]))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # no positives -> zero-ish loss denominator guard
+    loss0 = mask_loss(logits, targets, jnp.zeros(3, bool))
+    assert float(loss0) == 0
+
+
+def test_lvis_federated_rule():
+    from oadp_tpu.dp.lvis_eval import LvisEvaluator, ov_lvis_summary
+    ds = {
+        'images': [
+            # img 0: cat 1 annotated (pos), cat 2 verified absent (neg)
+            {'id': 0, 'neg_category_ids': [2]},
+            # img 1: nothing known about cat 2
+            {'id': 1, 'neg_category_ids': []},
+        ],
+        'annotations': [
+            dict(id=1, image_id=0, category_id=1, bbox=[10, 10, 20, 20],
+                 area=400, iscrowd=0),
+            dict(id=2, image_id=1, category_id=1, bbox=[10, 10, 20, 20],
+                 area=400, iscrowd=0),
+        ],
+        'categories': [
+            {'id': 1, 'frequency': 'f'},
+            {'id': 2, 'frequency': 'r'},
+        ],
+    }
+    ev = LvisEvaluator(ds, [1, 2])
+    dets = [
+        dict(image_id=0, category_id=1, bbox=[10, 10, 20, 20], score=0.9),
+        dict(image_id=1, category_id=1, bbox=[10, 10, 20, 20], score=0.9),
+        # cat-2 FP on img 0 (neg-verified): must count as FP
+        dict(image_id=0, category_id=2, bbox=[50, 50, 10, 10], score=0.8),
+        # cat-2 det on img 1 (unverified): must be DROPPED
+        dict(image_id=1, category_id=2, bbox=[50, 50, 10, 10], score=0.8),
+    ]
+    ev.evaluate(dets)
+    out = ov_lvis_summary(ev)
+    assert out['lvis_bbox_AP50'] == 1.0  # cat 1 perfect; cat 2 no gt
+    assert out['lvis_bbox_APf'] == 1.0
+    assert out['lvis_bbox_APr'] == -1.0  # no rare gt anywhere
