@@ -65,21 +65,15 @@ def main() -> None:
     masks = (rng.random((mini, g, g)) > 0.5).astype(np.float32)
 
     # Synthetic square proposals with realistic size spread, preprocessed
-    # exactly as the objects pipeline does (compact coefficients).
+    # exactly as the objects pipeline does (per-crop scalar meta; tap
+    # weights built on device).
     k = 21
-    wx_w = np.zeros((mini, 224, k), np.float32)
-    wy_w = np.zeros((mini, 224, k), np.float32)
-    wx_s = np.zeros((mini, 224), np.int32)
-    wy_s = np.zeros((mini, 224), np.int32)
-    for i in range(mini):
-        side = float(rng.uniform(32, 600))
-        x0 = float(rng.uniform(0, pad - 32))
-        y0 = float(rng.uniform(0, pad - 32))
-        xw, xs, yw, ys = P.clip_transform_coeffs(
-            pad, pad, (x0, y0, x0 + side, y0 + side), k
-        )
-        wx_w[i], wx_s[i], wy_w[i], wy_s[i] = xw, xs, yw, ys
-    gwx, _gs, gwy, _gs2 = P.clip_transform_coeffs(pad, pad, None, k)
+    sides = rng.uniform(32, 600, mini)
+    x0 = rng.uniform(0, pad - 32, mini)
+    y0 = rng.uniform(0, pad - 32, mini)
+    boxes = np.stack([x0, y0, x0 + sides, y0 + sides], -1)
+    meta = P.clip_transform_meta(pad, pad, boxes)
+    gwx, _gs, gwy, _gs2 = P.clip_transform_coeffs(pad, pad, None, 21)
     gwx_d = np.asarray(
         P.expand_coeffs(gwx[None], _gs[None], pad), np.float32
     )
@@ -89,20 +83,24 @@ def main() -> None:
 
     def one_image():
         outs = [
-            steps.objects_step(image, wx_w, wx_s, wy_w, wy_s, masks)
+            steps.objects_step(image, meta, masks, k)
             for _ in range(n_batches)
         ]
         outs.append(steps.globals_step(image[None], gwx_d, gwy_d))
         return outs
 
-    jax.block_until_ready(one_image())  # compile
-    jax.block_until_ready(one_image())  # warm
+    def sync(outs):
+        # fetch to host: block_until_ready is unreliable on tunneled
+        # backends, and production reads embeddings back anyway
+        return [np.asarray(o) for o in outs]
+
+    sync(one_image())  # compile
+    sync(one_image())  # warm
 
     n_images = 8
     t0 = time.perf_counter()
     for _ in range(n_images):
-        out = one_image()
-    jax.block_until_ready(out)
+        out = sync(one_image())
     dt = time.perf_counter() - t0
 
     imgs_per_sec = n_images / dt

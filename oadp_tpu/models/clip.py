@@ -197,6 +197,54 @@ def _layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
             + p['bias'].astype(jnp.float32)).astype(dtype)
 
 
+def _split_heads(t: jax.Array, heads: int) -> jax.Array:
+    b, n, d = t.shape
+    return t.reshape(b, n, heads, d // heads).transpose(0, 2, 1, 3)
+
+
+def _sdpa(
+    q: jax.Array,  # (B, h, M, d)
+    k: jax.Array,  # (B, h, N, d)
+    v: jax.Array,
+    bias: jax.Array | None,
+) -> jax.Array:
+    """Scaled-dot-product attention core → ``(B, M, h*d)`` (jnp path;
+    the hot unbiased self-attention goes through
+    :func:`_self_attention_packed` instead)."""
+    b, h, m, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum(
+        'bhmd,bhnd->bhmn', q * scale, k,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        logits = logits + bias
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum('bhmn,bhnd->bhmd', weights, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, m, h * d)
+
+
+def _self_attention_packed(
+    qkv: jax.Array,  # (B, N, 3D) packed projection output
+    heads: int,
+) -> jax.Array:
+    """Unbiased self-attention from packed QKV → ``(B, N, D)``; Pallas
+    fused kernel on TPU (no transposes materialize), jnp elsewhere."""
+    from ..ops.attention import fused_mha_qkv, fused_mha_qkv_supported
+
+    d = qkv.shape[-1] // 3
+    scale = 1.0 / math.sqrt(d // heads)
+    if fused_mha_qkv_supported(heads, d // heads):
+        return fused_mha_qkv(qkv, heads, scale)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return _sdpa(
+        _split_heads(q, heads),
+        _split_heads(k, heads),
+        _split_heads(v, heads),
+        None,
+    )
+
+
 def _attention(
     x: jax.Array,
     p: Params,
@@ -213,29 +261,24 @@ def _attention(
             ``(B, heads, M, N)``.
     """
     B, N, D = x.shape
-    head_dim = D // heads
     qkv_w = p['qkv_w']
     qkv_b = p['qkv_b']
+
+    if q_tokens is None and bias is None:
+        out = _self_attention_packed(x @ qkv_w + qkv_b, heads)
+        return out @ p['out_w'] + p['out_b']
 
     kv = x @ qkv_w[:, D:] + qkv_b[D:]
     q_in = x if q_tokens is None else q_tokens
     q = q_in @ qkv_w[:, :D] + qkv_b[:D]
     k, v = jnp.split(kv, 2, axis=-1)
 
-    M = q.shape[1]
-    q = q.reshape(B, M, heads, head_dim).transpose(0, 2, 1, 3)
-    k = k.reshape(B, N, heads, head_dim).transpose(0, 2, 1, 3)
-    v = v.reshape(B, N, heads, head_dim).transpose(0, 2, 1, 3)
-
-    scale = 1.0 / math.sqrt(head_dim)
-    logits = jnp.einsum(
-        'bhmd,bhnd->bhmn', q * scale, k, preferred_element_type=jnp.float32
+    out = _sdpa(
+        _split_heads(q, heads),
+        _split_heads(k, heads),
+        _split_heads(v, heads),
+        bias,
     )
-    if bias is not None:
-        logits = logits + bias
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum('bhmn,bhnd->bhmd', weights, v)
-    out = out.transpose(0, 2, 1, 3).reshape(B, M, D)
     return out @ p['out_w'] + p['out_b']
 
 
@@ -341,6 +384,8 @@ def image_encoder_surgery(
     x = _layer_norm(x, params['ln_pre'])
 
     B = x.shape[0]
+    D = config.width
+    heads = config.heads
     n_patches = config.grid * config.grid
     # (B, 1, 1, n_patches + 1) additive bias; broadcast over heads/queries.
     # Reference appends a zero column for y itself
@@ -355,21 +400,36 @@ def image_encoder_surgery(
 
     y = x[:, :1]
     for block in params['blocks']:
-        # Side stream: q = y, kv = [patches of x, y] after shared ln_1
-        # (reference ``oadp/oake/objects.py:238-245``).
-        kv = _layer_norm(
-            jnp.concatenate([x[:, 1:], y], axis=1), block['ln_1']
+        attn = block['attn']
+        qkv_w, qkv_b = attn['qkv_w'], attn['qkv_b']
+        # Shared work: the side stream's ln_1 and K/V over the patch
+        # tokens are IDENTICAL to the main stream's (same weights, same
+        # input — reference ``oadp/oake/objects.py:238-245`` recomputes
+        # them through hooks; here they are computed once).
+        ln_x = _layer_norm(x, block['ln_1'])
+        qkv = ln_x @ qkv_w + qkv_b  # (B, N, 3D)
+        _, k, v = jnp.split(qkv, 3, axis=-1)
+
+        # Main stream: standard unmasked self-attention + MLP.
+        main = _self_attention_packed(qkv, heads)
+        x = x + (main @ attn['out_w'] + attn['out_b'])
+
+        # Side stream: q = ln_1(y); keys/values = [patch K/V, y's own].
+        ln_y = _layer_norm(y, block['ln_1'])
+        qkv_y = ln_y @ qkv_w + qkv_b  # (B, 1, 3D)
+        qy, ky, vy = jnp.split(qkv_y, 3, axis=-1)
+        keys = jnp.concatenate([k[:, 1:], ky], axis=1)
+        vals = jnp.concatenate([v[:, 1:], vy], axis=1)
+        side = _sdpa(
+            _split_heads(qy, heads),
+            _split_heads(keys, heads),
+            _split_heads(vals, heads),
+            bias,
         )
-        y = y + _attention(
-            kv,
-            block['attn'],
-            config.heads,
-            q_tokens=kv[:, -1:],
-            bias=bias,
-        )
+        y = y + (side @ attn['out_w'] + attn['out_b'])
+
         y = y + _mlp(_layer_norm(y, block['ln_2']), block['mlp'])
-        # Main stream: standard unmasked block.
-        x = _block(x, block, config.heads)
+        x = x + _mlp(_layer_norm(x, block['ln_2']), block['mlp'])
 
     y = _layer_norm(y[:, 0], params['ln_post'])
     return y @ params['proj']

@@ -135,7 +135,8 @@ class OakeSteps:
         self._objects = jax.jit(
             functools.partial(
                 _objects_fn, config=model.surgery_config, dtype=dtype
-            )
+            ),
+            static_argnames=('k_pad',),
         )
 
     def globals_step(
@@ -163,15 +164,12 @@ class OakeSteps:
     def objects_step(
         self,
         image: jax.Array,  # (PH, PW, 3) uint8
-        wx_w: jax.Array,  # (B, 224, K) compact horizontal tap weights
-        wx_start: jax.Array,  # (B, 224) int32 first-tap columns
-        wy_w: jax.Array,  # (B, 224, K)
-        wy_start: jax.Array,  # (B, 224)
+        meta: jax.Array,  # (B, 9) per-crop scalars (clip_transform_meta)
         masks: jax.Array,  # (B, grid, grid) 1 = background
+        k_pad: int,  # static tap count (bucketed)
     ) -> jax.Array:
         return self._objects(
-            self.model.surgery_params,
-            image, wx_w, wx_start, wy_w, wy_start, masks,
+            self.model.surgery_params, image, meta, masks, k_pad=k_pad
         )
 
 
@@ -208,14 +206,12 @@ def _blocks_fn(
     return _l2_normalize(emb)
 
 
-def _objects_fn(
-    params, image, wx_w, wx_start, wy_w, wy_start, masks,
-    *, config, dtype,
-):
-    # Crop weights arrive compact ((B, 224, K) taps + starts) and are
-    # expanded to dense resample matrices on device: shipping dense
-    # matrices would move ~40x more bytes over PCIe/tunnel than the
-    # image itself.
+def _objects_fn(params, image, meta, masks, *, config, dtype, k_pad):
+    # The host ships 9 scalars per crop; tap weights, window starts and
+    # the dense resample matrices are all derived on device
+    # (``ops/preprocess.device_coeffs``) — no per-crop host Python work
+    # and no coefficient shipping on the hot path.
+    wx_w, wx_start, wy_w, wy_start = P.device_coeffs(meta, k_pad)
     crops = P.apply_resize_coeffs(
         image.astype(jnp.float32), wx_w, wx_start, wy_w, wy_start
     )

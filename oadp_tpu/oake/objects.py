@@ -83,33 +83,21 @@ class ObjectsPipeline(BaseOakePipeline):
         )
         masks = B.grid_mask(foregrounds, crops, self.model.grid)
 
-        n = len(proposals)
-        # Compact resample coefficients (taps + start columns); padded
-        # to a shared K and expanded to dense matrices on device.
-        coeffs = [
-            P.clip_transform_coeffs(w, h, tuple(crops[i]))
-            for i in range(n)
-        ]
-        k = max(
-            max(c[0].shape[1], c[2].shape[1]) for c in coeffs
+        # Per-crop scalar metadata; tap weights are derived on device
+        # (``ops/preprocess.device_coeffs``). The tap count is bucketed
+        # so XLA compiles a handful of shapes.
+        meta = P.clip_transform_meta(w, h, crops)
+        scale = np.maximum(
+            np.maximum(meta[:, 2] / meta[:, 4], meta[:, 3] / meta[:, 5]),
+            1.0,
         )
-        k = bucket(k, self._k_buckets)
-        wx_w = np.zeros((n, 224, k), np.float32)
-        wy_w = np.zeros((n, 224, k), np.float32)
-        wx_start = np.zeros((n, 224), np.int32)
-        wy_start = np.zeros((n, 224), np.int32)
-        for i, (xw, xs, yw, ys) in enumerate(coeffs):
-            wx_w[i, :, :xw.shape[1]] = xw
-            wx_start[i] = xs
-            wy_w[i, :, :yw.shape[1]] = yw
-            wy_start[i] = ys
+        ksizes = 2 * np.ceil(2.0 * scale).astype(int) + 1
+        k = bucket(int(ksizes.max()), self._k_buckets)
         return dict(
             output=item['output'],
             image=self._pad_image(item['image']),
-            wx_w=wx_w,
-            wx_start=wx_start,
-            wy_w=wy_w,
-            wy_start=wy_start,
+            meta=meta,
+            k=k,
             masks=masks,
             bboxes=proposals,
             objectness=objectness,
@@ -122,24 +110,20 @@ class ObjectsPipeline(BaseOakePipeline):
             (n, self.model.surgery_config.output_dim), np.float32
         )
         grid = self.model.grid
-        k = item['wx_w'].shape[-1]
+        k = item['k']
+        # dummy-but-valid meta for padded rows (identity 224 crop)
+        pad_meta = np.asarray(
+            [0, 0, 224, 224, 224, 224, 0, 0, 1], np.float32
+        )
         for start in range(0, n, self.mini_batch_size):
             stop = min(start + self.mini_batch_size, n)
             m = stop - start
             b = bucket(m, self._buckets)
-            wx_w = np.zeros((b, 224, k), np.float32)
-            wy_w = np.zeros((b, 224, k), np.float32)
-            wx_s = np.zeros((b, 224), np.int32)
-            wy_s = np.zeros((b, 224), np.int32)
+            meta = np.tile(pad_meta, (b, 1))
             masks = np.zeros((b, grid, grid), np.float32)
-            wx_w[:m] = item['wx_w'][start:stop]
-            wy_w[:m] = item['wy_w'][start:stop]
-            wx_s[:m] = item['wx_start'][start:stop]
-            wy_s[:m] = item['wy_start'][start:stop]
+            meta[:m] = item['meta'][start:stop]
             masks[:m] = item['masks'][start:stop]
-            emb = self.steps.objects_step(
-                item['image'], wx_w, wx_s, wy_w, wy_s, masks
-            )
+            emb = self.steps.objects_step(item['image'], meta, masks, k)
             out[start:stop] = np.asarray(emb[:m])
         return [
             dict(

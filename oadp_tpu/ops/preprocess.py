@@ -30,6 +30,9 @@ __all__ = [
     'resize_matrix',
     'clip_transform_matrices',
     'clip_transform_coeffs',
+    'clip_transform_meta',
+    'device_coeffs',
+    'device_grid_mask',
     'coeff_ksize',
     'plain_resize_matrices',
     'apply_resize_pair',
@@ -252,6 +255,131 @@ def clip_transform_coeffs(
     wx_w, wx_start = axis(x0, x1, ow, left)
     wy_w, wy_start = axis(y0, y1, oh, top)
     return wx_w, wx_start, wy_w, wy_start
+
+
+def clip_transform_meta(
+    image_w: int,
+    image_h: int,
+    boxes: np.ndarray,  # (B, 4) crop boxes (float)
+    out: int = 224,
+) -> np.ndarray:
+    """Per-crop scalar metadata for on-device coefficient construction.
+
+    The only non-device-friendly parts of the CLIP preprocess are a
+    handful of Python-float roundings (banker's rounding of the crop
+    box, torchvision's ``int()`` size truncation, center-crop offsets).
+    They are computed here, vectorized, in float64 — everything heavy
+    (tap weights, dense expansion, resampling) happens on device from
+    these 9 numbers per crop.
+
+    Returns ``(B, 9)`` float32: ``x0, y0, cw, ch, ow, oh, left, top,
+    identity``.
+    """
+    boxes = np.asarray(boxes, np.float64)
+    rounded = np.vectorize(_round_half_even)(boxes).astype(np.float64)
+    x0, y0, x1, y1 = rounded.T
+    cw, ch = x1 - x0, y1 - y0
+    landscape = cw > ch
+    ow = np.where(landscape, np.floor(out * cw / ch), float(out))
+    oh = np.where(landscape, float(out), np.floor(out * ch / cw))
+    identity = (ow == cw) & (oh == ch)
+    left = np.vectorize(_round_half_even)((ow - out) / 2.0)
+    top = np.vectorize(_round_half_even)((oh - out) / 2.0)
+    return np.stack(
+        [x0, y0, cw, ch, ow, oh, left, top, identity.astype(np.float64)],
+        axis=-1,
+    ).astype(np.float32)
+
+
+def _bicubic_jnp(x):
+    a = -0.5
+    ax = jnp.abs(x)
+    return jnp.where(
+        ax < 1,
+        ((a + 2) * ax - (a + 3)) * ax * ax + 1,
+        jnp.where(ax < 2, (((ax - 5) * ax + 8) * ax - 4) * a, 0.0),
+    )
+
+
+def device_coeffs(
+    meta: jax.Array,  # (B, 9) from clip_transform_meta
+    k_pad: int,
+    out: int = 224,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """On-device resample coefficients: ``(wx_w, wx_start, wy_w,
+    wy_start)`` of shapes ``(B, out, K)`` / ``(B, out)``.
+
+    Float32 re-derivation of Pillow's ``precompute_coeffs`` (the host
+    builders compute the same thing in float64; the fp32 weights agree
+    to ~1e-6, i.e. within the 2^-22 quantization step for all but
+    boundary-tied taps — validated in tests). Replaces per-crop host
+    Python work and ~20 MB/batch of coefficient shipping with 36 bytes
+    per crop.
+    """
+    x0, y0, cw, ch, ow, oh, left, top, identity = [
+        meta[:, i] for i in range(9)
+    ]
+
+    def axis(crop0, size, n_out, offset):
+        o = jnp.arange(out, dtype=jnp.float32)[None, :]  # (1, out)
+        scale = (size / n_out)[:, None]  # (B, 1)
+        filterscale = jnp.maximum(scale, 1.0)
+        support = 2.0 * filterscale
+        # multiply-then-divide: (o+offset+0.5)*size is exactly
+        # representable in f32, so exact-tie centers (the trunc
+        # boundaries below) stay exact like the host's float64 path
+        center = ((o + offset[:, None] + 0.5) * size[:, None]) / (
+            n_out[:, None]
+        )
+        xmin = jnp.clip(
+            jnp.trunc(center - support + 0.5), 0.0, None
+        )  # (B, out)
+        xend = jnp.minimum(
+            jnp.trunc(center + support + 0.5), size[:, None]
+        )
+        taps = jnp.arange(k_pad, dtype=jnp.float32)[None, None, :]
+        pos = (taps + xmin[..., None] - center[..., None] + 0.5) / (
+            filterscale[..., None]
+        )
+        w = _bicubic_jnp(pos)
+        w = jnp.where(taps < (xend - xmin)[..., None], w, 0.0)
+        ww = w.sum(-1, keepdims=True)
+        w = w / jnp.where(ww == 0, 1.0, ww)
+        q = 1 << PRECISION_BITS
+        w = jnp.trunc(w * q + 0.5 * jnp.sign(w)) / q
+        starts = (xmin + crop0[:, None]).astype(jnp.int32)
+        # identity crops: single unit tap per output pixel
+        ident = identity[:, None].astype(bool)
+        id_starts = (
+            crop0[:, None] + offset[:, None] + o
+        ).astype(jnp.int32)
+        id_w = jnp.zeros_like(w).at[..., 0].set(1.0)
+        w = jnp.where(ident[..., None], id_w, w)
+        starts = jnp.where(ident, id_starts, starts)
+        return w, starts
+
+    wx_w, wx_s = axis(x0, cw, ow, left)
+    wy_w, wy_s = axis(y0, ch, oh, top)
+    return wx_w, wx_s, wy_w, wy_s
+
+
+def device_grid_mask(
+    foregrounds: jax.Array,  # (B, 4) proposal boxes in crop coords
+    crop_wh: jax.Array,  # (B, 2) crop sizes (cw, ch as floats)
+    grid: int,
+) -> jax.Array:
+    """On-device version of ``ops.boxes.grid_mask`` (reference
+    ``oadp/oake/objects.py:129-155``): 1 = background on the ViT patch
+    grid, computed with the same ceil/arange/floor semantics."""
+    idx = jnp.arange(grid, dtype=jnp.float32)[None, :]
+    cw = jnp.ceil(crop_wh[:, 0:1] - 1e-9)
+    ch = jnp.ceil(crop_wh[:, 1:2] - 1e-9)
+    xs = jnp.floor(idx * cw / grid)
+    ys = jnp.floor(idx * ch / grid)
+    fx = (foregrounds[:, 0:1] <= xs) & (xs <= foregrounds[:, 2:3])
+    fy = (foregrounds[:, 1:2] <= ys) & (ys <= foregrounds[:, 3:4])
+    fg = fy[:, :, None] & fx[:, None, :]
+    return (~fg).astype(jnp.float32)
 
 
 def plain_resize_matrices(

@@ -166,3 +166,41 @@ def test_apply_resize_coeffs_vs_pil(image):
     pil = PIL.Image.fromarray(image)
     for i, b in enumerate(boxes):
         _assert_match(ours[i], _pil_clip_transform(pil, b))
+
+
+def test_device_coeffs_match_host(image):
+    """On-device f32 coefficient construction agrees with the exact
+    host (float64) path: identical windows except rare trunc-boundary
+    ties, pixel output within one uint8 step."""
+    import jax.numpy as jnp
+
+    h, w = image.shape[:2]
+    pad = 512
+    K = 13
+    rng = np.random.RandomState(1)
+    sides = rng.uniform(8, 400, 64)
+    x0 = rng.uniform(-30, w - 8, 64)
+    y0 = rng.uniform(-30, h - 8, 64)
+    boxes = np.stack([x0, y0, x0 + sides, y0 + sides * 1.01], -1)
+    boxes = boxes[[
+        i for i in range(64)
+        if pp.coeff_ksize(max(sides[i], sides[i] * 1.01)) <= K
+    ]]
+    meta = pp.clip_transform_meta(w, h, boxes)
+    dwx, dxs, dwy, dys = [
+        np.asarray(a) for a in pp.device_coeffs(jnp.asarray(meta), K)
+    ]
+    padded = np.zeros((pad, pad, 3), np.float32)
+    padded[:h, :w] = image
+    worst = 0.0
+    for i, b in enumerate(boxes):
+        hx, hxs, hy, hys = pp.clip_transform_coeffs(w, h, tuple(b), K)
+        exact = np.asarray(pp.apply_resize_coeffs(
+            padded, hx[None], hxs[None], hy[None], hys[None]
+        ))
+        dev = np.asarray(pp.apply_resize_coeffs(
+            padded, dwx[i][None], dxs[i][None], dwy[i][None], dys[i][None]
+        ))
+        worst = max(worst, np.abs(exact - dev).max())
+        assert (exact == dev).mean() > 0.999
+    assert worst <= 1.0
