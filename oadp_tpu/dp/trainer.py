@@ -156,6 +156,9 @@ class Trainer:
             trainer_cfg.get('evaluation', {}).get('interval', 2000)
         )
         self.seed = int(trainer_cfg.get('seed', 3407))
+        # optional jax.profiler window: profile=dict(start=i, stop=j,
+        # dir='...') — the reference stack has no tracing (SURVEY.md §5)
+        self.profile = trainer_cfg.get('profile')
 
         n_dev = int(trainer_cfg.get('n_devices', 0)) or len(jax.devices())
         devices = jax.devices()[:n_dev]
@@ -243,6 +246,8 @@ class Trainer:
                 key = (canvas, epoch_len)
                 if key not in self._step_fn:
                     self._step_fn[key] = self._make_step(canvas, epoch_len)
+                if self.profile and step == int(self.profile['start']):
+                    jax.profiler.start_trace(str(self.profile['dir']))
                 rng, sub = jax.random.split(rng)
                 dev_batch = self._device_batch(batch)
                 (
@@ -253,6 +258,13 @@ class Trainer:
                 )
                 step += 1
                 state.step = step
+                if self.profile and step == int(self.profile['stop']):
+                    jax.tree.map(
+                        lambda x: x.block_until_ready(), losses
+                    )
+                    jax.profiler.stop_trace()
+                    logger.info('profiler trace written to %s',
+                                self.profile['dir'])
                 window.append(losses)
                 if step % self.log_interval == 0:
                     avg = {

@@ -174,6 +174,13 @@ class BaseOakePipeline(ABC):
         start = time.time()
         done = 0
 
+        # Optional jax.profiler trace (config: profile='trace_dir');
+        # the reference has no tracing at all (SURVEY.md §5).
+        profile_dir = self.config.get('profile')
+        if profile_dir:
+            import jax
+            jax.profiler.start_trace(str(profile_dir))
+
         # Bounded prefetch: one producer thread runs host prep (JPEG
         # decode + weight building, all GIL-releasing C/numpy) while the
         # main thread drives the device.
@@ -221,6 +228,10 @@ class BaseOakePipeline(ABC):
                 flush()
         flush()
         producer.join()
+        if profile_dir:
+            import jax
+            jax.profiler.stop_trace()
+            logger.info('profiler trace written to %s', profile_dir)
         elapsed = time.time() - start
         logger.info(
             '[%s] split done: %d images in %.1fs (%.2f img/s)',
