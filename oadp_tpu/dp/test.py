@@ -37,6 +37,8 @@ def main(argv=None) -> dict:
     if Store.DRY_RUN:
         config.validator.dataloader['samples_per_gpu'] = 1
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     Globals.categories = {'coco': coco, 'lvis': lvis}[config.categories]
     bundle = build_detector(config.model, Globals.categories)
     if args.checkpoint and args.checkpoint != 'none':

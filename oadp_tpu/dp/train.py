@@ -143,6 +143,8 @@ def main(argv=None) -> None:
     config.dump(work_dir / 'config.py')
     add_file_handler(work_dir / 'train.log')
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
     Globals.categories = {'coco': coco, 'lvis': lvis}[config.categories]
     logger.info('devices: %s', jax.devices())
 

@@ -261,6 +261,8 @@ class BaseOakePipeline(ABC):
         config: Config = args.config
         if args.override:
             config.override(args.override)
+        from ..utils import enable_compilation_cache
+        enable_compilation_cache()
         pipeline = cls(args.name, config)
         pipeline.run()
         return pipeline

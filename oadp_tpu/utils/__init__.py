@@ -1,5 +1,9 @@
 from .config import Config, DictAction, parse_override
-from .logging import add_file_handler, logger
+from .logging import (
+    add_file_handler,
+    enable_compilation_cache,
+    logger,
+)
 from .pth import PthAccessLayer, load_pth, save_pth
 from .registry import Registry
 from .store import Store
@@ -9,6 +13,7 @@ __all__ = [
     'DictAction',
     'parse_override',
     'add_file_handler',
+    'enable_compilation_cache',
     'logger',
     'PthAccessLayer',
     'load_pth',

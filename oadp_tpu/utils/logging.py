@@ -26,3 +26,21 @@ def add_file_handler(path: str | pathlib.Path) -> None:
     handler = logging.FileHandler(path)
     handler.setFormatter(logger.handlers[0].formatter)
     logger.addHandler(handler)
+
+
+def enable_compilation_cache(path: str = '') -> None:
+    """Persistent XLA compilation cache (first full-detector compile is
+    minutes; subsequent runs hit the cache). Opt-out with
+    JAX_DISABLE_COMPILATION_CACHE=1."""
+    import os
+    if os.environ.get('JAX_DISABLE_COMPILATION_CACHE'):
+        return
+    import jax
+    cache = path or os.environ.get(
+        'JAX_COMPILATION_CACHE_DIR', os.path.expanduser('~/.cache/oadp_tpu_xla')
+    )
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    except Exception:  # older jax without these options
+        logger.warning('persistent compilation cache unavailable')

@@ -175,3 +175,38 @@ def test_calibration_trial(in_workdir):
                    bbox_base_scaler=0.3)
     metrics2 = runner.run_trial(params2)
     assert set(metrics2) == set(metrics)
+
+
+def test_resume_from_checkpoint(in_workdir):
+    """resume_from restores params/opt state/step (reference
+    configs/dp/base.py:11 exposes resume_from)."""
+    root, cfg, data = in_workdir
+    from oadp_tpu.dp import train as train_cli
+    ckpt = root / 'work_dirs' / 'dry_run' / 'e2e' / 'latest.txt'
+    assert ckpt.exists(), 'run test_train_cli_dry_run first'
+    train_cli.main([
+        'e2e_resumed', str(cfg),
+        '--override',
+        '.trainer.runner.max_iters:9',
+        f'.trainer.resume_from:{ckpt}',
+    ])
+    log = (
+        root / 'work_dirs' / 'dry_run' / 'e2e_resumed' / 'train.log'
+    ).read_text()
+    assert 'resumed from' in log
+    assert 'iter 8/9' in log and 'iter 9/9' in log
+    assert 'iter 1/9' not in log  # started past the restored step
+
+
+def test_train_with_val_dataset(in_workdir, monkeypatch):
+    root, cfg, data = in_workdir
+    monkeypatch.setenv('TRAIN_WITH_VAL_DATASET', '1')
+    from oadp_tpu.dp import train as train_cli
+    train_cli.main([
+        'e2e_twv', str(cfg),
+        '--override', '.trainer.runner.max_iters:1',
+    ])
+    log = (
+        root / 'work_dirs' / 'dry_run' / 'e2e_twv' / 'train.log'
+    ).read_text()
+    assert 'iter 1/1' in log
