@@ -97,10 +97,16 @@ def main() -> None:
     sync(one_image())  # compile
     sync(one_image())  # warm
 
+    # production runner keeps one image in flight: dispatch image i+1,
+    # then fetch image i (oake/base.py deferred-save slot)
     n_images = 8
     t0 = time.perf_counter()
-    for _ in range(n_images):
-        out = sync(one_image())
+    pending = one_image()
+    for _ in range(n_images - 1):
+        nxt = one_image()
+        sync(pending)
+        pending = nxt
+    sync(pending)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = n_images / dt

@@ -102,7 +102,14 @@ class BaseOakePipeline(ABC):
         self, prepared: list[dict[str, Any]]
     ) -> list[Any]:
         """Run the device step(s) on ≤ ``device_batch`` prepared items;
-        return one record per item (saved to its ``output`` path)."""
+        return one record per item (saved to its ``output`` path).
+        Records may hold device arrays — they are finalized one batch
+        later (:meth:`finalize`), so device compute overlaps the
+        previous batch's host fetch + disk write."""
+
+    def finalize(self, record: Any) -> Any:
+        """Materialize a record to numpy right before saving."""
+        return record
 
     def build_dataset(self, dataset_cfg: Config) -> CocoImageSet:
         return CocoImageSet(
@@ -199,21 +206,34 @@ class BaseOakePipeline(ABC):
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
         buffer: list[dict[str, Any]] = []
+        # one-batch save delay: the device computes batch i+1 while the
+        # host materializes + writes batch i (device dispatch is async)
+        pending: tuple[list, list] | None = None
 
-        def flush():
-            nonlocal done
-            if not buffer:
+        def drain_pending():
+            nonlocal pending, done
+            if pending is None:
                 return
-            records = self.execute_batch(buffer)
-            for item, record in zip(buffer, records):
-                save_pth(record, item['output'])
-            done += len(buffer)
-            buffer.clear()
+            items, records = pending
+            pending = None
+            for item, record in zip(items, records):
+                save_pth(self.finalize(record), item['output'])
+            done += len(items)
             if done % self.log_interval < self.device_batch:
                 rate = done / (time.time() - start)
                 logger.info(
                     '[%s] %d images, %.2f img/s', self.name, done, rate
                 )
+
+        def flush():
+            nonlocal pending
+            if not buffer:
+                return
+            records = self.execute_batch(buffer)
+            new_pending = (list(buffer), records)
+            buffer.clear()
+            drain_pending()
+            pending = new_pending
 
         while True:
             prepared = queue.get()
@@ -227,6 +247,7 @@ class BaseOakePipeline(ABC):
             if len(buffer) >= self.device_batch:
                 flush()
         flush()
+        drain_pending()
         producer.join()
         if profile_dir:
             import jax

@@ -106,15 +106,15 @@ class ObjectsPipeline(BaseOakePipeline):
     def execute_batch(self, prepared: list[dict[str, Any]]) -> list[Any]:
         (item,) = prepared
         n = len(item['bboxes'])
-        out = np.empty(
-            (n, self.model.surgery_config.output_dim), np.float32
-        )
         grid = self.model.grid
         k = item['k']
         # dummy-but-valid meta for padded rows (identity 224 crop)
         pad_meta = np.asarray(
             [0, 0, 224, 224, 224, 224, 0, 0, 1], np.float32
         )
+        # async dispatch of all mini-batches; fetch happens one image
+        # later in finalize() so device compute overlaps host IO
+        chunks = []
         for start in range(0, n, self.mini_batch_size):
             stop = min(start + self.mini_batch_size, n)
             m = stop - start
@@ -124,14 +124,21 @@ class ObjectsPipeline(BaseOakePipeline):
             meta[:m] = item['meta'][start:stop]
             masks[:m] = item['masks'][start:stop]
             emb = self.steps.objects_step(item['image'], meta, masks, k)
-            out[start:stop] = np.asarray(emb[:m])
+            chunks.append((emb, m))
         return [
             dict(
-                embeddings=out.astype(np.float16),
+                _chunks=chunks,
                 bboxes=item['bboxes'].astype(np.float16),
                 objectness=item['objectness'].astype(np.float16),
             )
         ]
+
+    def finalize(self, record: dict[str, Any]) -> dict[str, Any]:
+        chunks = record.pop('_chunks')
+        record['embeddings'] = np.concatenate(
+            [np.asarray(emb[:m]) for emb, m in chunks]
+        ).astype(np.float16)
+        return record
 
 
 def main(argv=None):
