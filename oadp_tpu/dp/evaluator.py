@@ -15,6 +15,7 @@ post-hoc calibration consumes these.
 __all__ = ['DetEvaluator']
 
 import functools
+import pathlib
 from typing import Any
 
 import jax
@@ -140,6 +141,9 @@ class DetEvaluator:
                         len(results))
             return {}
         detections = [d for res in results.values() for d in res]
+        detections = self._gather(detections)
+        if detections is None:  # non-zero process: rank 0 evaluates
+            return {}
         if self.eval_type == 'lvis':
             metrics = {}
             bbox_eval = LvisEvaluator(
@@ -164,6 +168,38 @@ class DetEvaluator:
         return ov_coco_summary(
             evaluator, self.categories.num_bases, self.categories.num_novels
         )
+
+    def _gather(self, detections: list[dict]) -> list[dict] | None:
+        """Multi-host result gather over the shared filesystem (the
+        reference all-gathers python dicts over NCCL,
+        ``oadp/dp/test_nni.py:144-150``; OAKE-style file exchange keeps
+        this backend-free). Single-process: identity."""
+        if jax.process_count() == 1:
+            return detections
+        import pickle
+        import tempfile
+        import time as time_mod
+        root = pathlib.Path(
+            Store.DUMP or tempfile.gettempdir()
+        ) / 'eval_gather'
+        root.mkdir(parents=True, exist_ok=True)
+        mine = root / f'part_{jax.process_index():04d}.pkl'
+        with open(mine, 'wb') as f:
+            pickle.dump(detections, f)
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices('eval_gather')
+        if jax.process_index() != 0:
+            return None
+        merged: list[dict] = []
+        for p in range(jax.process_count()):
+            part = root / f'part_{p:04d}.pkl'
+            for _ in range(600):
+                if part.exists():
+                    break
+                time_mod.sleep(0.1)
+            with open(part, 'rb') as f:
+                merged.extend(pickle.load(f))
+        return merged
 
     def _write_dump(self, img_id: int, out: dict, i: int) -> None:
         valid = out['proposal_valid'][i]

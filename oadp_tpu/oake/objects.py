@@ -69,9 +69,9 @@ class ObjectsPipeline(BaseOakePipeline):
         if raw is None or len(raw) == 0:
             return None
         proposals, objectness = raw[:, :4], raw[:, 4:5]
-        keep = B.filter_min_wh(proposals, 4, 4)
+        keep = np.nonzero(B.filter_min_wh(proposals, 4, 4))[0]
         if Store.DRY_RUN:
-            keep[5:] = False  # reference objects.py:166-167
+            keep = keep[:5]  # first 5 FILTERED (reference objects.py:166-167)
         proposals = proposals[keep]
         objectness = objectness[keep]
         if len(proposals) == 0:
