@@ -313,13 +313,13 @@ def forward_train(
     roi_feats = _roi_feats(pyramid, rois)
     r = config.rcnn_samples
     flat_feats = roi_feats.reshape(b * r, *roi_feats.shape[2:])
-    cls_logits, reg, _, bbox_stats = convfc_forward(
-        params['bbox_head'], stats['bbox_head'], flat_feats,
-        config.bbox_head, True,
-    )
-    new_stats['bbox_head'] = bbox_stats
     labels_f = labels.reshape(-1)
     sel_f = sel_valid.reshape(-1)
+    cls_logits, reg, _, bbox_stats = convfc_forward(
+        params['bbox_head'], stats['bbox_head'], flat_feats,
+        config.bbox_head, True, valid=sel_f,
+    )
+    new_stats['bbox_head'] = bbox_stats
     pos_f = is_pos.reshape(-1)
     n_samples = jnp.maximum(sel_f.sum().astype(jnp.float32), 1.0)
     losses['loss_cls'] = L.softmax_cross_entropy(
@@ -361,13 +361,13 @@ def forward_train(
     # --- object head distillation -------------------------------------
     obj_feats = _roi_feats(pyramid, batch['object_boxes'])
     o = batch['object_boxes'].shape[1]
+    obj_mask = batch['object_valid'].reshape(-1)
     _, _, obj_proj, object_stats = convfc_forward(
         params['object_head'], stats['object_head'],
         obj_feats.reshape(b * o, *obj_feats.shape[2:]),
-        config.object_head, True,
+        config.object_head, True, valid=obj_mask,
     )
     new_stats['object_head'] = object_stats
-    obj_mask = batch['object_valid'].reshape(-1)
     losses['loss_clip_objects'] = L.l1_loss(
         obj_proj, batch['clip_objects'].reshape(b * o, -1), obj_mask
     ) * L.warmup_weight(step, config.objects_gain, config.objects_warmup)
@@ -376,13 +376,13 @@ def forward_train(
     if config.with_block:
         blk_feats = _roi_feats(pyramid, batch['block_boxes'])
         kk = batch['block_boxes'].shape[1]
+        blk_mask = batch['block_valid'].reshape(-1)
         blk_logits, _, blk_proj, block_stats = convfc_forward(
             params['block_head'], stats['block_head'],
             blk_feats.reshape(b * kk, *blk_feats.shape[2:]),
-            config.block_head, True,
+            config.block_head, True, valid=blk_mask,
         )
         new_stats['block_head'] = block_stats
-        blk_mask = batch['block_valid'].reshape(-1)
         blk_targets = batch['block_labels'].reshape(b * kk, -1)
         losses['loss_block'] = L.asymmetric_loss(
             jax.nn.sigmoid(blk_logits[:, :-1]), blk_targets, blk_mask,

@@ -203,12 +203,13 @@ def convfc_forward(
     x: jax.Array,  # (R, roi, roi, C)
     config: HeadConfig,
     train: bool,
+    valid: jax.Array | None = None,  # (R,) padded-row mask for BN stats
 ) -> tuple[jax.Array, jax.Array | None, jax.Array, Params]:
     """Returns ``(cls_logits, reg_deltas | None, projection, new_stats)``."""
     new_stats: Params = {'convs': []}
     for p, s in zip(params['convs'], stats['convs']):
         x = conv(x, p['conv'], padding=1)
-        x, ns = batch_norm(x, p['bn'], s['bn'], train)
+        x, ns = batch_norm(x, p['bn'], s['bn'], train, mask=valid)
         new_stats['convs'].append({'bn': ns})
         x = jax.nn.relu(x)
     # NHWC flatten; torch flattens CHW — converters must permute.

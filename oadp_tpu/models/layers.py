@@ -24,6 +24,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = dict[str, Any]
 
@@ -93,20 +94,33 @@ def batch_norm(
     train: bool,
     momentum: float = BN_MOMENTUM,
     eps: float = BN_EPS,
+    mask: jax.Array | None = None,
 ) -> tuple[jax.Array, Params]:
     """Torch-semantics BN. ``train=True`` normalizes with (global) batch
     statistics and returns updated running stats; ``train=False`` uses
-    the running stats and returns them unchanged."""
+    the running stats and returns them unchanged.
+
+    ``mask`` (leading-dim bool) excludes padded rows from the batch
+    statistics — mmdet never pads RoI batches, so unmasked stats would
+    be biased toward zero here."""
     dtype = x.dtype
     if train:
         xf = x.astype(jnp.float32)
         axes = tuple(range(x.ndim - 1))
-        mean = xf.mean(axes)
-        var = jnp.square(xf - mean).mean(axes)
-        n = 1
-        for a in axes:
-            n *= x.shape[a]
-        unbiased = var * n / max(n - 1, 1)
+        if mask is None:
+            mean = xf.mean(axes)
+            var = jnp.square(xf - mean).mean(axes)
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+        else:
+            m = mask.reshape(
+                mask.shape + (1,) * (x.ndim - mask.ndim)
+            ).astype(jnp.float32)
+            n = jnp.maximum(m.sum() * np.prod(x.shape[1:-1]), 1.0)
+            mean = (xf * m).sum(axes) / n
+            var = (jnp.square(xf - mean) * m).sum(axes) / n
+        unbiased = var * n / jnp.maximum(n - 1, 1)
         new_stats = {
             'mean': (1 - momentum) * stats['mean'] + momentum * mean,
             'var': (1 - momentum) * stats['var'] + momentum * unbiased,
