@@ -17,14 +17,12 @@ running on TPU; a jnp fallback keeps CPU tests exact.
 """
 
 __all__ = [
-    'fused_mha',
     'fused_mha_qkv',
     'fused_mha_qkv_supported',
     'supports_fused_mha',
 ]
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -34,23 +32,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 def supports_fused_mha() -> bool:
     return jax.default_backend() == 'tpu'
-
-
-def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0]  # (N, d)
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (N, N) fp32, lives in VMEM only
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = (e / e.sum(-1, keepdims=True)).astype(v.dtype)
-    o_ref[0] = jnp.dot(
-        p, v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
 
 
 def _mha_packed_kernel(
@@ -77,11 +58,14 @@ def _mha_packed_kernel(
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('heads', 'scale'))
+@functools.partial(
+    jax.jit, static_argnames=('heads', 'scale', 'interpret')
+)
 def fused_mha_qkv(
     qkv: jax.Array,  # (B, N, 3*D) packed projection output
     heads: int,
     scale: float,
+    interpret: bool = False,  # Pallas interpreter (CPU tests)
 ) -> jax.Array:
     """Fused MHA straight off the packed QKV projection → ``(B, N, D)``.
 
@@ -121,6 +105,7 @@ def fused_mha_qkv(
             bytes_accessed=4 * b * n * d * qkv.dtype.itemsize,
             transcendentals=b * heads * n * n,
         ),
+        interpret=interpret,
     )(qkv, qkv, qkv)
 
 
@@ -131,27 +116,3 @@ def fused_mha_qkv_supported(heads: int, head_dim: int) -> bool:
         and heads % hpb == 0
         and (head_dim * hpb) % 128 == 0
     )
-
-
-@functools.partial(jax.jit, static_argnames=('scale',))
-def fused_mha(
-    q: jax.Array,  # (BH, N, d)
-    k: jax.Array,  # (BH, N, d)
-    v: jax.Array,  # (BH, N, d)
-    scale: float,
-) -> jax.Array:
-    bh, n, d = q.shape
-    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_mha_kernel, scale=scale),
-        grid=(bh,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * bh * n * n * d * 2,
-            bytes_accessed=4 * bh * n * d * q.dtype.itemsize,
-            transcendentals=bh * n * n,
-        ),
-    )(q, k, v)
