@@ -239,3 +239,26 @@ def test_objects_dry_run(setup, monkeypatch):
     from oadp_tpu.utils import load_pth
     for f in files:
         assert load_pth(f)['embeddings'].shape[0] <= 5  # 5-proposal cap
+
+
+def test_globals_auto_fix(setup):
+    """auto_fix probes existing outputs and regenerates corrupt ones
+    (reference oadp/oake/base.py:45-52)."""
+    out = setup['root'] / 'out' / 'globals'
+    files = sorted(out.glob('*.pth'))
+    assert files
+    good = files[0].read_bytes()
+    files[0].write_bytes(b'corrupt!')
+    intact_before = files[1].stat().st_mtime_ns
+    _run(
+        setup, 'globals', 'globals',
+        extra=['.val.dataloader.dataset.auto_fix:True'],
+    )
+    # corrupt file regenerated, content equivalent to the original
+    regenerated = torch.load(files[0], weights_only=False)
+    original = pickle_roundtrip = torch.load(
+        __import__('io').BytesIO(good), weights_only=False
+    )
+    assert _cos(np.asarray(regenerated), np.asarray(original)) > 0.9999
+    # intact file untouched
+    assert files[1].stat().st_mtime_ns == intact_before
