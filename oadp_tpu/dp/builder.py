@@ -90,6 +90,20 @@ class DetectorBundle:
                 self.stats['fpn'] = fs
             if any(k.startswith('rpn_head.') for k in state):
                 self.params['rpn'] = RPN.convert_torch_rpn(state)
+            if (
+                'mask_head' in self.params
+                and any(
+                    k.startswith('roi_head.mask_head.') for k in state
+                )
+            ):
+                from ..models.mask_head import convert_torch_mask_head
+                try:
+                    self.params['mask_head'] = convert_torch_mask_head(
+                        state
+                    )
+                    logger.info('grafted mask head from %s', path)
+                except KeyError as e:
+                    logger.warning('mask head graft failed: %s', e)
             logger.info('loaded pretrained backbone(+neck) from %s', path)
         elif 'conv1.weight' in state:
             bp, bs = RN.convert_torch_resnet(state)

@@ -7,8 +7,13 @@ channel; targets at 28x28 from a 14x14 RoIAlign; BCE loss over positive
 RoIs (``use_mask`` CrossEntropyLoss).
 """
 
-__all__ = ['MaskHeadConfig', 'init_mask_head', 'mask_head_forward',
-           'mask_loss']
+__all__ = [
+    'MaskHeadConfig',
+    'init_mask_head',
+    'mask_head_forward',
+    'mask_loss',
+    'convert_torch_mask_head',
+]
 
 import dataclasses
 from typing import Any
@@ -55,15 +60,17 @@ def mask_head_forward(
     """Returns ``(R, 2*roi, 2*roi)`` mask logits."""
     for p in params['convs']:
         x = jax.nn.relu(conv(x, p, padding=1))
-    # ConvTranspose2d(k=2, s=2) == 2x nearest-block expansion through
-    # the kernel: implement via conv_transpose
-    x = jax.lax.conv_transpose(
-        x,
-        params['upsample']['w'].astype(x.dtype),
-        strides=(2, 2),
-        padding='VALID',
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-    ) + params['upsample']['b'].astype(x.dtype)
+    # ConvTranspose2d(k=2, s=2) has no tap overlap: each input pixel
+    # maps linearly onto its own 2x2 output block — one einsum, exact
+    # torch semantics, MXU-friendly (no conv_transpose lowering).
+    w = params['upsample']['w'].astype(x.dtype)  # (2, 2, C, C')
+    up = jnp.einsum(
+        'bijc,xyco->bixjyo', x, w, precision=jax.lax.Precision.HIGHEST
+    )
+    r, h, _, w_, _, o = up.shape
+    x = up.reshape(r, h * 2, w_ * 2, o) + params['upsample']['b'].astype(
+        x.dtype
+    )
     x = jax.nn.relu(x)
     x = conv(x, params['logits'], padding=0)
     return x[..., 0]
@@ -84,3 +91,32 @@ def mask_loss(
     return binary_cross_entropy(
         logits, targets, weights, n_pos * per_pixel
     )
+
+
+def convert_torch_mask_head(
+    state: dict, prefix: str = 'roi_head.mask_head.'
+) -> Params:
+    """mmdet FCNMaskHead state dict → params. Torch ConvTranspose2d
+    stores ``(in, out, kH, kW)`` → ``(kH, kW, in, out)``."""
+    import numpy as np
+
+    def a(name):
+        return np.asarray(state[prefix + name], np.float32)
+
+    params: Params = {'convs': []}
+    i = 0
+    while f'{prefix}convs.{i}.conv.weight' in state:
+        params['convs'].append({
+            'w': a(f'convs.{i}.conv.weight').transpose(2, 3, 1, 0),
+            'b': a(f'convs.{i}.conv.bias'),
+        })
+        i += 1
+    params['upsample'] = {
+        'w': a('upsample.weight').transpose(2, 3, 0, 1),
+        'b': a('upsample.bias'),
+    }
+    params['logits'] = {
+        'w': a('conv_logits.weight').transpose(2, 3, 1, 0),
+        'b': a('conv_logits.bias'),
+    }
+    return jax.tree.map(jnp.asarray, params)

@@ -140,3 +140,56 @@ def test_lvis_federated_rule():
     assert out['lvis_bbox_AP50'] == 1.0  # cat 1 perfect; cat 2 no gt
     assert out['lvis_bbox_APf'] == 1.0
     assert out['lvis_bbox_APr'] == -1.0  # no rare gt anywhere
+
+
+def test_mask_head_torch_parity():
+    """FCN mask head vs a torch oracle (incl. the ConvTranspose2d
+    upsample conversion)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+    from oadp_tpu.models.mask_head import (
+        MaskHeadConfig, convert_torch_mask_head, mask_head_forward,
+    )
+
+    torch.manual_seed(0)
+    c = 8
+
+    class Oracle(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.convs = nn.ModuleList([
+                nn.Sequential(nn.Conv2d(c, c, 3, padding=1))
+                for _ in range(2)
+            ])
+            # mmdet naming: convs.{i}.conv.*
+            for m in self.convs:
+                m.conv = m[0]
+            self.upsample = nn.ConvTranspose2d(c, c, 2, stride=2)
+            self.conv_logits = nn.Conv2d(c, 1, 1)
+
+        def forward(self, x):
+            for m in self.convs:
+                x = F.relu(m[0](x))
+            x = F.relu(self.upsample(x))
+            return self.conv_logits(x)[:, 0]
+
+    net = Oracle().eval()
+    state = {
+        f'convs.{i}.conv.{k}': v
+        for i, m in enumerate(net.convs)
+        for k, v in m[0].state_dict().items()
+    }
+    state.update({f'upsample.{k}': v
+                  for k, v in net.upsample.state_dict().items()})
+    state.update({f'conv_logits.{k}': v
+                  for k, v in net.conv_logits.state_dict().items()})
+    state = {k: v.numpy() for k, v in state.items()}
+    params = convert_torch_mask_head(state, prefix='')
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 14, 14, c)).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(mask_head_forward(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
