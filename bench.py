@@ -73,12 +73,8 @@ def main() -> None:
     y0 = rng.uniform(0, pad - 32, mini)
     boxes = np.stack([x0, y0, x0 + sides, y0 + sides], -1)
     meta = P.clip_transform_meta(pad, pad, boxes)
-    gwx, _gs, gwy, _gs2 = P.clip_transform_coeffs(pad, pad, None, 21)
-    gwx_d = np.asarray(
-        P.expand_coeffs(gwx[None], _gs[None], pad), np.float32
-    )
-    gwy_d = np.asarray(
-        P.expand_coeffs(gwy[None], _gs2[None], pad), np.float32
+    gmeta = P.clip_transform_meta(
+        pad, pad, np.asarray([[0.0, 0.0, pad, pad]])
     )
 
     def one_image():
@@ -86,7 +82,7 @@ def main() -> None:
             steps.objects_step(image, meta, masks, k)
             for _ in range(n_batches)
         ]
-        outs.append(steps.globals_step(image[None], gwx_d, gwy_d))
+        outs.append(steps.globals_step(image[None], gmeta, k))
         return outs
 
     def sync(outs):

@@ -12,6 +12,7 @@ the host (blocks.py:54-77, the CPU hot loop per SURVEY.md §3.1).
 
 __all__ = ['BlocksPipeline', 'main']
 
+import functools
 from typing import Any
 
 import numpy as np
@@ -31,8 +32,14 @@ class BlocksPipeline(BaseOakePipeline):
         self.max_levels = int(self.config.get('max_levels', 6))
         self.max_blocks = int(self.config.get('max_blocks', 48))
 
-    def prepare(self, item: dict[str, Any]) -> dict[str, Any]:
-        w, h = item['width'], item['height']
+    @functools.lru_cache(maxsize=64)
+    def _size_constants(self, w: int, h: int):
+        """Per-image-size device constants. COCO sizes repeat heavily
+        (640x480 alone is ~half the dataset), so the pyramid resize
+        matrices and whole-image weights are built and transferred once
+        per distinct (w, h) and kept on device."""
+        import jax
+
         plan = plan_blocks(
             w, h, self.block_size, self.max_stride, self.rescale
         )
@@ -64,6 +71,16 @@ class BlocksPipeline(BaseOakePipeline):
 
         whole_wx, whole_wy = P.clip_transform_matrices(w, h, None, pad, pad)
         bboxes = [first_block_bbox(w, h)] + plan.bboxes
+        device = jax.devices()[0]
+        arrays = jax.device_put(
+            (level_wx, level_wy, whole_wx, whole_wy, coords), device
+        )
+        return arrays, n_blocks, np.asarray(bboxes, np.float32)
+
+    def prepare(self, item: dict[str, Any]) -> dict[str, Any]:
+        w, h = item['width'], item['height']
+        arrays, n_blocks, bboxes = self._size_constants(w, h)
+        level_wx, level_wy, whole_wx, whole_wy, coords = arrays
         return dict(
             output=item['output'],
             image=self._pad_image(item['image']),
@@ -73,28 +90,32 @@ class BlocksPipeline(BaseOakePipeline):
             whole_wy=whole_wy,
             coords=coords,
             n_blocks=n_blocks,
-            bboxes=np.asarray(bboxes, np.float32),
+            bboxes=bboxes,
         )
 
     def execute_batch(self, prepared: list[dict[str, Any]]) -> list[Any]:
         (item,) = prepared
-        emb = np.asarray(
-            self.steps.blocks_step(
-                item['image'],
-                item['level_wx'],
-                item['level_wy'],
-                item['whole_wx'],
-                item['whole_wy'],
-                item['coords'],
-            )
+        emb = self.steps.blocks_step(
+            item['image'],
+            item['level_wx'],
+            item['level_wy'],
+            item['whole_wx'],
+            item['whole_wy'],
+            item['coords'],
         )
-        n = 1 + item['n_blocks']
         return [
             dict(
-                embeddings=emb[:n].astype(np.float16),
+                _emb=emb,
+                _n=1 + item['n_blocks'],
                 bboxes=item['bboxes'].astype(np.float16),
             )
         ]
+
+    def finalize(self, record: dict[str, Any]) -> dict[str, Any]:
+        emb = record.pop('_emb')
+        n = record.pop('_n')
+        record['embeddings'] = np.asarray(emb[:n]).astype(np.float16)
+        return record
 
 
 def main(argv=None):

@@ -127,7 +127,8 @@ class OakeSteps:
         self._globals = jax.jit(
             functools.partial(
                 _globals_fn, config=model.config, dtype=dtype
-            )
+            ),
+            static_argnames=('k_pad',),
         )
         self._blocks = jax.jit(
             functools.partial(_blocks_fn, config=model.config, dtype=dtype)
@@ -142,10 +143,12 @@ class OakeSteps:
     def globals_step(
         self,
         images: jax.Array,  # (B, PH, PW, 3) uint8
-        wx: jax.Array,  # (B, 224, PW)
-        wy: jax.Array,  # (B, 224, PH)
+        meta: jax.Array,  # (B, 9) per-image scalars
+        k_pad: int,  # static tap count
     ) -> jax.Array:
-        return self._globals(self.model.params, images, wx, wy)
+        return self._globals(
+            self.model.params, images, meta, k_pad=k_pad
+        )
 
     def blocks_step(
         self,
@@ -173,8 +176,11 @@ class OakeSteps:
         )
 
 
-def _globals_fn(params, images, wx, wy, *, config, dtype):
-    crops = P.apply_resize_pair(images.astype(jnp.float32), wx, wy)
+def _globals_fn(params, images, meta, *, config, dtype, k_pad):
+    wx_w, wx_s, wy_w, wy_s = P.device_coeffs(meta, k_pad)
+    crops = P.apply_resize_coeffs(
+        images.astype(jnp.float32), wx_w, wx_s, wy_w, wy_s
+    )
     crops = P.normalize_clip(crops, dtype)
     emb = C.image_encoder(params, crops, config)
     return _l2_normalize(emb)

@@ -25,28 +25,39 @@ class GlobalsPipeline(BaseOakePipeline):
         self.device_batch = int(self.config.get('batch_size', 16))
 
     def prepare(self, item: dict[str, Any]) -> dict[str, Any]:
-        wx, wy = P.clip_transform_matrices(
-            item['width'], item['height'], None, self.pad, self.pad
-        )
+        w, h = item['width'], item['height']
+        meta = P.clip_transform_meta(w, h, np.asarray(
+            [[0.0, 0.0, w, h]]
+        ))[0]
+        scale = max(meta[2] / meta[4], meta[3] / meta[5], 1.0)
         return dict(
             output=item['output'],
             image=self._pad_image(item['image']),
-            wx=wx,
-            wy=wy,
+            meta=meta,
+            ksize=2 * int(np.ceil(2.0 * scale)) + 1,
         )
 
     def execute_batch(self, prepared: list[dict[str, Any]]) -> list[Any]:
         n = len(prepared)
         b = bucket(n, (self.device_batch,))
         images = np.zeros((b, self.pad, self.pad, 3), np.uint8)
-        wx = np.zeros((b, 224, self.pad), np.float32)
-        wy = np.zeros((b, 224, self.pad), np.float32)
+        # identity-crop meta for padding rows
+        meta = np.tile(
+            np.asarray([0, 0, 224, 224, 224, 224, 0, 0, 1], np.float32),
+            (b, 1),
+        )
         for i, item in enumerate(prepared):
             images[i] = item['image']
-            wx[i] = item['wx']
-            wy[i] = item['wy']
-        emb = np.asarray(self.steps.globals_step(images, wx, wy))
-        return [emb[i].astype(np.float16) for i in range(n)]
+            meta[i] = item['meta']
+        k = bucket(
+            max(item['ksize'] for item in prepared), (5, 9, 13, 21)
+        )
+        emb = self.steps.globals_step(images, meta, k)
+        return [(emb, i) for i in range(n)]
+
+    def finalize(self, record) -> np.ndarray:
+        emb, i = record
+        return np.asarray(emb[i]).astype(np.float16)
 
 
 def main(argv=None):
