@@ -1,0 +1,72 @@
+"""Trainer pieces: torch-SGD parity, LR schedule, lr_mult rules."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from oadp_tpu.dp.trainer import _lr_mult_tree, lr_at, sgd_init, sgd_update
+
+torch = pytest.importorskip('torch')
+
+
+def test_sgd_matches_torch():
+    """Momentum + coupled weight decay, several steps, vs torch.optim.SGD."""
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    grads = [
+        rng.standard_normal((4, 3)).astype(np.float32) for _ in range(5)
+    ]
+    lr, momentum, wd = 0.02, 0.9, 2.5e-5
+
+    t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([t], lr=lr, momentum=momentum, weight_decay=wd)
+    for g in grads:
+        opt.zero_grad()
+        t.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    params = {'w': jnp.asarray(w0)}
+    bufs = sgd_init(params)
+    mults = _lr_mult_tree(params, {})
+    for g in grads:
+        params, bufs = sgd_update(
+            params, {'w': jnp.asarray(g)}, bufs, jnp.asarray(lr),
+            mults, momentum, wd,
+        )
+    np.testing.assert_allclose(
+        np.asarray(params['w']), t.detach().numpy(), atol=1e-6
+    )
+
+
+def test_lr_schedule():
+    # warmup: lr(0) = ratio * base; lr(500) = base; step decay at 30k
+    assert np.isclose(float(lr_at(jnp.asarray(0), 0.02, (30000,))),
+                      0.02 * 0.001)
+    assert np.isclose(float(lr_at(jnp.asarray(500), 0.02, (30000,))), 0.02)
+    assert np.isclose(float(lr_at(jnp.asarray(29999), 0.02, (30000,))),
+                      0.02)
+    assert np.isclose(float(lr_at(jnp.asarray(30000), 0.02, (30000,))),
+                      0.002)
+    # two milestones compose
+    assert np.isclose(
+        float(lr_at(jnp.asarray(50000), 0.02, (30000, 40000))), 0.0002
+    )
+
+
+def test_lr_mult_rules():
+    params = {
+        'bbox_head': {'w': jnp.ones(2)},
+        'rpn': {'w': jnp.ones(2)},
+    }
+    mults = _lr_mult_tree(params, {'bbox_head': 0.5})
+    assert mults['bbox_head']['w'] == 0.5
+    assert mults['rpn']['w'] == 1.0
+    # the multiplier scales the applied update
+    grads = jax.tree.map(jnp.ones_like, params)
+    p2, _ = sgd_update(
+        params, grads, sgd_init(params), jnp.asarray(1.0), mults,
+        momentum=0.0, weight_decay=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(p2['bbox_head']['w']), 0.5)
+    np.testing.assert_allclose(np.asarray(p2['rpn']['w']), 0.0)
