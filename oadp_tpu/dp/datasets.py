@@ -43,7 +43,7 @@ import PIL.Image
 
 from ..base import Categories
 from ..ops import boxes as B
-from ..utils import Config, PthAccessLayer, Store, logger
+from ..utils import PthAccessLayer, Store, logger
 
 # ImageNet/caffe normalization used by all DP configs
 # (configs/dp/datasets/ov_coco.py:9-13)

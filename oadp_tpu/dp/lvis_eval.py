@@ -19,7 +19,7 @@ __all__ = ['LvisEvaluator', 'ov_lvis_summary']
 import numpy as np
 
 from ..ops.masks import mask_iou_pairs
-from .coco_eval import AREA_RNG, IOU_THRS, CocoEvaluator
+from .coco_eval import AREA_RNG, CocoEvaluator
 
 
 class LvisEvaluator(CocoEvaluator):

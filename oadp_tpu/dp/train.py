@@ -165,16 +165,13 @@ def main(argv=None) -> None:
 
     resume = None
     if config.trainer.get('resume_from'):
+        from .trainer import TrainState, sgd_init
         template = {
             'params': bundle.params,
             'stats': bundle.stats,
-            'bufs': __import__('jax').tree.map(
-                lambda x: x, bundle.params
-            ),
+            'bufs': sgd_init(bundle.params),
             'step': 0,
         }
-        from .trainer import TrainState, sgd_init
-        template['bufs'] = sgd_init(bundle.params)
         restored = Trainer.restore(config.trainer.resume_from, template)
         resume = TrainState(
             params=restored['params'],

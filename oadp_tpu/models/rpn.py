@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..base.losses import binary_cross_entropy, l1_loss
+from ..base.losses import binary_cross_entropy
 from ..ops.assign import max_iou_assign, random_sample
 from ..ops.coder import clip_boxes, decode_deltas, encode_deltas
 from ..ops.nms import NEG_INF, batched_nms

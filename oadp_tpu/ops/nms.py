@@ -14,8 +14,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .coder import pairwise_iou
-
 NEG_INF = -1e10
 
 

@@ -1,7 +1,5 @@
 """Numpy COCOeval: analytic AP cases + OV triple summary."""
 
-import numpy as np
-
 from oadp_tpu.dp.coco_eval import CocoEvaluator, ov_coco_summary
 
 

@@ -8,7 +8,6 @@ anchor values are the published mmdet base anchors for this config.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from oadp_tpu.ops import anchors as A
 from oadp_tpu.ops import assign as S

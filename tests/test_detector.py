@@ -13,7 +13,6 @@ import pytest
 
 import oadp_tpu.models.resnet as RN
 from oadp_tpu.models import detector as DET
-from oadp_tpu.ops.anchors import AnchorGenerator
 
 NUM_BASES, NUM_ALL = 3, 5
 EMB_DIM = 16

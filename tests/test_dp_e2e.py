@@ -2,11 +2,8 @@
 descent plumbing, checkpointing, test CLI with metrics, DUMP mode.
 """
 
-import json
-import os
 import pathlib
 
-import numpy as np
 import pytest
 
 torch = pytest.importorskip('torch')

@@ -1,8 +1,6 @@
 """OV-LVIS end-to-end: mask-head training, segm inference + LVIS
 metrics (synthetic data)."""
 
-import pathlib
-
 import pytest
 
 torch = pytest.importorskip('torch')

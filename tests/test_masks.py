@@ -4,7 +4,6 @@ FCN mask head; LVIS evaluation rules."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from oadp_tpu.ops import masks as M
 

@@ -204,3 +204,27 @@ def test_device_coeffs_match_host(image):
         worst = max(worst, np.abs(exact - dev).max())
         assert (exact == dev).mean() > 0.999
     assert worst <= 1.0
+
+
+def test_device_grid_mask_matches_host():
+    """On-device ViT-grid background masks vs the host implementation
+    (ops/boxes.grid_mask)."""
+    import jax.numpy as jnp
+    from oadp_tpu.ops import boxes as B
+
+    rng = np.random.RandomState(5)
+    n, grid = 32, 14
+    crops = np.zeros((n, 4))
+    crops[:, 2] = rng.uniform(10, 300, n)
+    crops[:, 3] = rng.uniform(10, 300, n)
+    fg = np.stack([
+        rng.uniform(0, 50, n), rng.uniform(0, 50, n),
+        rng.uniform(60, 280, n), rng.uniform(60, 280, n),
+    ], -1)
+    host = B.grid_mask(fg, crops, grid)
+    dev = np.asarray(pp.device_grid_mask(
+        jnp.asarray(fg, jnp.float32),
+        jnp.asarray(crops[:, 2:4], jnp.float32),
+        grid,
+    ))
+    np.testing.assert_array_equal(dev, host)
