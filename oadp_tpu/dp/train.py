@@ -52,6 +52,13 @@ def build_train_loader(config: Config, categories, model_cfg) -> Loader:
         ds_cfg.update(
             ann_file=val_ds.ann_file, img_prefix=val_ds.img_prefix
         )
+        if 'clip_features' in ds_cfg:
+            # the OAKE stores must follow the dataset swap (reference
+            # oadp/dp/datasets.py:152-155: task_name train -> val)
+            ds_cfg.clip_features = {
+                k: v.replace('train', 'val') if isinstance(v, str) else v
+                for k, v in ds_cfg.clip_features.items()
+            }
     clip = None
     if 'clip_features' in ds_cfg:
         clip = LoadClipFeatures(**ds_cfg.clip_features)
