@@ -415,17 +415,33 @@ def image_encoder_surgery(
         x = x + (main @ attn['out_w'] + attn['out_b'])
 
         # Side stream: q = ln_1(y); keys/values = [patch K/V, y's own].
+        # The K/V concat is done on the tiny LOGITS instead of the
+        # (B, N, D) tensors — appending one row to K and V would
+        # otherwise materialize two full activation tensors per layer.
         ln_y = _layer_norm(y, block['ln_1'])
         qkv_y = ln_y @ qkv_w + qkv_b  # (B, 1, 3D)
         qy, ky, vy = jnp.split(qkv_y, 3, axis=-1)
-        keys = jnp.concatenate([k[:, 1:], ky], axis=1)
-        vals = jnp.concatenate([v[:, 1:], vy], axis=1)
-        side = _sdpa(
-            _split_heads(qy, heads),
-            _split_heads(keys, heads),
-            _split_heads(vals, heads),
-            bias,
+        qy_h = _split_heads(qy, heads)  # (B, h, 1, d)
+        ky_h = _split_heads(ky, heads)
+        vy_h = _split_heads(vy, heads)
+        k_p = _split_heads(k[:, 1:], heads)  # (B, h, P, d)
+        v_p = _split_heads(v[:, 1:], heads)
+        d_h = qy_h.shape[-1]
+        scale = 1.0 / math.sqrt(d_h)
+        logits_p = jnp.einsum(
+            'bhmd,bhnd->bhmn', qy_h * scale, k_p,
+            preferred_element_type=jnp.float32,
         )
+        logit_y = (qy_h * scale * ky_h).sum(
+            -1, keepdims=True
+        ).astype(jnp.float32)
+        logits = jnp.concatenate([logits_p, logit_y], axis=-1) + bias
+        weights = jax.nn.softmax(logits, axis=-1).astype(v_p.dtype)
+        side = (
+            jnp.einsum('bhmn,bhnd->bhmd', weights[..., :-1], v_p)
+            + weights[..., -1:] * vy_h
+        )
+        side = side.transpose(0, 2, 1, 3).reshape(B, 1, D)
         y = y + (side @ attn['out_w'] + attn['out_b'])
 
         y = y + _mlp(_layer_norm(y, block['ln_2']), block['mlp'])
