@@ -15,6 +15,8 @@ precision/recall tensors by category columns exactly like the reference
 
 __all__ = ['CocoEvaluator', 'ov_coco_summary']
 
+import ctypes
+
 import numpy as np
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
@@ -53,6 +55,74 @@ def _iou_xywh(dts: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray):
         d_area[:, None] + g_area[None, :] - inter,
     )
     return inter / np.maximum(union, 1e-12)
+
+
+def _match_pairs_py(
+    ious: np.ndarray, g_ignore: np.ndarray, iscrowd: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-Python greedy matching (pycocotools evaluateImg inner loop);
+    reference for — and fallback of — the native kernel."""
+    nd, ng = ious.shape
+    t = len(IOU_THRS)
+    dtm = np.zeros((t, nd), np.int32)
+    gtm = np.zeros((t, ng), np.int64)
+    dt_ignore = np.zeros((t, nd), bool)
+    for ti, thr in enumerate(IOU_THRS):
+        for di in range(nd):
+            best = min(thr, 1 - 1e-10)
+            m = -1
+            for gi in range(ng):
+                if gtm[ti, gi] > 0 and not iscrowd[gi]:
+                    continue
+                # stop at ignored gts once matched to a real one
+                if m > -1 and not g_ignore[m] and g_ignore[gi]:
+                    break
+                if ious[di, gi] < best:
+                    continue
+                best = ious[di, gi]
+                m = gi
+            if m == -1:
+                continue
+            dtm[ti, di] = 1 + m
+            gtm[ti, m] = 1 + di
+            dt_ignore[ti, di] = g_ignore[m]
+    return dtm, dt_ignore
+
+
+def _match_pairs(
+    ious: np.ndarray, g_ignore: np.ndarray, iscrowd: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    nd, ng = ious.shape
+    if nd == 0 or ng == 0:
+        t = len(IOU_THRS)
+        return np.zeros((t, nd), np.int32), np.zeros((t, nd), bool)
+    from ..native import load_library
+    lib = load_library('cocoeval_match')
+    if lib is None:
+        return _match_pairs_py(ious, g_ignore, iscrowd)
+    t = len(IOU_THRS)
+    dtm = np.zeros((t, nd), np.int32)
+    dt_ig = np.zeros((t, nd), np.uint8)
+    lib.match_pairs(
+        np.ascontiguousarray(ious, np.float64).ctypes.data_as(
+            ctypes.c_void_p
+        ),
+        np.ascontiguousarray(g_ignore, np.uint8).ctypes.data_as(
+            ctypes.c_void_p
+        ),
+        np.ascontiguousarray(iscrowd, np.uint8).ctypes.data_as(
+            ctypes.c_void_p
+        ),
+        np.ascontiguousarray(IOU_THRS, np.float64).ctypes.data_as(
+            ctypes.c_void_p
+        ),
+        ctypes.c_int(nd),
+        ctypes.c_int(ng),
+        ctypes.c_int(t),
+        dtm.ctypes.data_as(ctypes.c_void_p),
+        dt_ig.ctypes.data_as(ctypes.c_void_p),
+    )
+    return dtm, dt_ig.astype(bool)
 
 
 class CocoEvaluator:
@@ -116,28 +186,7 @@ class CocoEvaluator:
         ious = self._pair_ious(dts, gts, iscrowd)
 
         nd, ng = len(dts), len(gts)
-        dtm = np.zeros((t, nd), np.int64)
-        gtm = np.zeros((t, ng), np.int64)
-        dt_ignore = np.zeros((t, nd), bool)
-        for ti, thr in enumerate(IOU_THRS):
-            for di in range(nd):
-                best = min(thr, 1 - 1e-10)
-                m = -1
-                for gi in range(ng):
-                    if gtm[ti, gi] > 0 and not iscrowd[gi]:
-                        continue
-                    # stop at ignored gts once matched to a real one
-                    if m > -1 and not g_ignore[m] and g_ignore[gi]:
-                        break
-                    if ious[di, gi] < best:
-                        continue
-                    best = ious[di, gi]
-                    m = gi
-                if m == -1:
-                    continue
-                dtm[ti, di] = 1 + m
-                gtm[ti, m] = 1 + di
-                dt_ignore[ti, di] = g_ignore[m]
+        dtm, dt_ignore = _match_pairs(ious, g_ignore, iscrowd)
         d_area = d_boxes[:, 2] * d_boxes[:, 3]
         out_of_range = (d_area < area_rng[0]) | (d_area > area_rng[1])
         dt_ignore |= (dtm == 0) & out_of_range[None, :]

@@ -119,3 +119,70 @@ def test_area_ranges():
     assert stats['s'] == 1.0
     assert stats['m'] == -1.0  # no medium gts
     assert stats['l'] == -1.0
+
+
+def test_native_matcher_equals_python():
+    """The C++ matching kernel must agree with the Python reference on
+    randomized inputs (incl. crowd/ignore edge cases)."""
+    import numpy as np
+    from oadp_tpu.dp.coco_eval import _match_pairs_py
+    from oadp_tpu.native import load_library
+    import ctypes
+    from oadp_tpu.dp import coco_eval as CE
+
+    lib = load_library('cocoeval_match')
+    if lib is None:
+        import pytest
+        pytest.skip('no C++ toolchain')
+
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        nd = int(rng.integers(1, 12))
+        ng = int(rng.integers(1, 8))
+        ious = rng.random((nd, ng))
+        g_ignore = rng.random(ng) < 0.3
+        # sort gts ignored-last like _evaluate_img does
+        order = np.argsort(g_ignore, kind='stable')
+        g_ignore = g_ignore[order]
+        iscrowd = (rng.random(ng) < 0.2) & g_ignore
+        dtm_py, ig_py = _match_pairs_py(ious, g_ignore, iscrowd)
+        dtm_c, ig_c = CE._match_pairs(ious, g_ignore, iscrowd)
+        np.testing.assert_array_equal(dtm_c, dtm_py)
+        np.testing.assert_array_equal(ig_c, ig_py)
+
+
+def test_eval_speed_smoke():
+    """Mid-size randomized evaluation completes and is self-consistent."""
+    import numpy as np
+    rng = np.random.default_rng(1)
+    n_img, n_cat = 20, 10
+    images = [{'id': i} for i in range(n_img)]
+    anns, dets = [], []
+    for i in range(n_img):
+        for _ in range(5):
+            c = int(rng.integers(1, n_cat + 1))
+            x, y = rng.uniform(0, 400, 2)
+            w, h = rng.uniform(10, 100, 2)
+            anns.append(dict(
+                id=len(anns) + 1, image_id=i, category_id=c,
+                bbox=[x, y, w, h], area=w * h, iscrowd=0,
+            ))
+            # jittered detection + noise detections
+            dets.append(dict(
+                image_id=i, category_id=c,
+                bbox=[x + rng.uniform(-3, 3), y + rng.uniform(-3, 3),
+                      w, h],
+                score=float(rng.uniform(0.5, 1.0)),
+            ))
+            dets.append(dict(
+                image_id=i, category_id=int(rng.integers(1, n_cat + 1)),
+                bbox=list(rng.uniform(0, 300, 2)) + [20.0, 20.0],
+                score=float(rng.uniform(0, 0.5)),
+            ))
+    ds = dict(images=images, annotations=anns,
+              categories=[{'id': c} for c in range(1, n_cat + 1)])
+    ev = CocoEvaluator(ds, list(range(1, n_cat + 1)))
+    ev.evaluate(dets)
+    stats = ev.summarize()
+    assert 0.3 < stats['50'] <= 1.0
+    assert stats[''] <= stats['50']
