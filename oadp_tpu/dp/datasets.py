@@ -203,7 +203,11 @@ class LoadClipFeatures:
 
 class TrainTransform:
     """Multiscale keep-ratio resize + random flip + normalize
-    (``configs/dp/datasets/ov_coco.py:33-44``)."""
+    (``configs/dp/datasets/ov_coco.py:33-44``).
+
+    Augmentation randomness derives from ``(seed, epoch, sample
+    index)`` so it is deterministic and safe under the loader's
+    thread-pooled fetching (a shared RandomState would race)."""
 
     def __init__(
         self,
@@ -213,18 +217,17 @@ class TrainTransform:
     ) -> None:
         self.scales = scales
         self.flip_ratio = flip_ratio
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
 
-    def _sample_scale(self) -> tuple[int, int]:
+    def __call__(
+        self, sample: dict[str, Any], salt: tuple = (0, 0)
+    ) -> dict[str, Any]:
+        rng = np.random.default_rng((self.seed,) + tuple(salt))
         (l0, s0), (l1, s1) = self.scales
-        long = self.rng.randint(min(l0, l1), max(l0, l1) + 1)
-        short = self.rng.randint(min(s0, s1), max(s0, s1) + 1)
-        return long, short
-
-    def __call__(self, sample: dict[str, Any]) -> dict[str, Any]:
-        long, short = self._sample_scale()
+        long = int(rng.integers(min(l0, l1), max(l0, l1) + 1))
+        short = int(rng.integers(min(s0, s1), max(s0, s1) + 1))
         sample = resize_keep_ratio(sample, long, short)
-        if self.rng.rand() < self.flip_ratio:
+        if rng.random() < self.flip_ratio:
             sample = flip_horizontal(sample)
         return normalize(sample)
 
@@ -234,7 +237,9 @@ class TestTransform:
     def __init__(self, scale: tuple = (1333, 800)) -> None:
         self.scale = scale
 
-    def __call__(self, sample: dict[str, Any]) -> dict[str, Any]:
+    def __call__(
+        self, sample: dict[str, Any], salt: tuple = (0, 0)
+    ) -> dict[str, Any]:
         sample = resize_keep_ratio(sample, *self.scale)
         return normalize(sample)
 
@@ -477,6 +482,7 @@ class Loader:
         process_index: int = 0,
         process_count: int = 1,
         prefetch: int = 2,
+        workers: int = 4,
     ) -> None:
         self.dataset = dataset
         self.builder = builder
@@ -487,6 +493,7 @@ class Loader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        self.workers = workers
 
     def _index_batches(self, epoch: int) -> list[list[int]]:
         rng = np.random.RandomState(self.seed + epoch)
@@ -520,12 +527,20 @@ class Loader:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
 
         def worker():
+            # JPEG decode / PIL resize / numpy release the GIL, so
+            # per-sample fetches parallelize across threads (the
+            # reference uses dataloader worker processes instead)
+            from concurrent.futures import ThreadPoolExecutor
             try:
-                for idxs in batches:
-                    samples = [
-                        self.transform(self.dataset[i]) for i in idxs
-                    ]
-                    q.put(self.builder(samples))
+                with ThreadPoolExecutor(max(self.workers, 1)) as pool:
+                    def fetch(i):
+                        return self.transform(
+                            self.dataset[i], salt=(epoch, i)
+                        )
+
+                    for idxs in batches:
+                        samples = list(pool.map(fetch, idxs))
+                        q.put(self.builder(samples))
             except Exception:  # pragma: no cover
                 logger.exception('loader worker failed')
             finally:
