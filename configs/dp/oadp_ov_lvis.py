@@ -14,6 +14,9 @@ model = dict(
     with_block=True,
     with_mask=True,
     head_cls_mode='vild',
-    # reference oadp_ov_lvis.py:13-17: train 0.01 / val 0.007
+    # reference oadp_ov_lvis.py:13-17: train 0.01 / val 0.007 for the
+    # bbox/object/block heads; the global head keeps the ViLD default
+    # (reference :20-26 passes no scaler)
     vild_scaler=dict(train=0.01, val=0.007),
+    global_vild_scaler=(0.007, 0.01),
 )

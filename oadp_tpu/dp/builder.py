@@ -143,6 +143,10 @@ def build_detector(
         cls_scaler=ml.get('scaler', 1.0),
         cls_bias=ml.get('bias', 0.0),
         head_cls_mode=model_cfg.get('head_cls_mode', 'affine'),
+        global_vild_scaler=(
+            tuple(model_cfg['global_vild_scaler'])
+            if 'global_vild_scaler' in model_cfg else None
+        ),
         **model_cfg.get('overrides', {}),
     )
     config = _apply_size_overrides(config, model_cfg)

@@ -118,6 +118,7 @@ class DetectorConfig:
         cls_scaler: float = 1.0,
         cls_bias: float = 0.0,
         head_cls_mode: str = 'affine',
+        global_vild_scaler: tuple | None = None,
         **overrides,
     ) -> 'DetectorConfig':
         """Assemble the OADP/ViLD head configuration.
@@ -160,7 +161,19 @@ class DetectorConfig:
                 num_convs=0, num_fcs=2, with_reg=False, classifier=affine,
             ),
             global_cls=dataclasses.replace(
-                affine, in_features=256, with_bg=False,
+                affine,
+                in_features=256,
+                with_bg=False,
+                # OV-LVIS: the global head keeps the DEFAULT ViLD
+                # temperature while the other heads override it
+                # (reference configs/dp/oadp_ov_lvis.py:20-26 vs :13-17)
+                **(
+                    dict(
+                        scaler_train=global_vild_scaler[0],
+                        scaler_val=global_vild_scaler[1],
+                    )
+                    if global_vild_scaler else {}
+                ),
             ),
             **overrides,
         )
