@@ -93,3 +93,30 @@ def test_store_flags(monkeypatch):
     assert not Store.DRY_RUN
     monkeypatch.setenv('DUMP', '/tmp/x')
     assert Store.DUMP == '/tmp/x'
+
+
+def test_coco_image_set_lvis_paths(tmp_path):
+    """LVIS images resolve through coco_url into the COCO tree
+    (reference oadp/oake/objects.py:192-195)."""
+    import json
+    from oadp_tpu.oake.base import CocoImageSet
+
+    ann = tmp_path / 'ann.json'
+    ann.write_text(json.dumps(dict(images=[
+        dict(id=7, coco_url='http://images.cocodataset.org/train2017/000000000007.jpg'),
+        dict(id=3, coco_url='http://images.cocodataset.org/val2017/000000000003.jpg'),
+    ])))
+    ds = CocoImageSet('data/coco', str(ann), lvis=True)
+    assert ds.ids == [3, 7]  # sorted (torchvision CocoDetection)
+    assert ds.unsorted_ids == [7, 3]
+    assert str(ds.path(7)).endswith('data/coco/train2017/000000000007.jpg')
+    assert str(ds.path(3)).endswith('data/coco/val2017/000000000003.jpg')
+
+
+def test_bucket():
+    from oadp_tpu.oake.base import bucket
+    assert bucket(1) == 8
+    assert bucket(8) == 8
+    assert bucket(9) == 16
+    assert bucket(1025) == 2048  # beyond largest: rounded up in units
+    assert bucket(7, (4, 16)) == 16
