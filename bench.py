@@ -9,11 +9,14 @@ step, per SURVEY.md §6 / BASELINE.json ("OAKE images/sec/chip
 
 One synthetic "image" = 1024 proposals (two full 512-crop mini-batches,
 the reference's ``mini_batch_size``, ``configs/oake/objects_coco.py:26``)
-plus one global crop. ``vs_baseline`` compares against an estimated
-reference throughput of 1.0 img/s per V100 GPU for the same workload
-(the reference publishes no throughput numbers — SURVEY.md §6; estimate
-from ViT-B/32-surgery FLOPs at 197 tokens x 1024 crops and the host-side
-per-crop PIL loop). Prints ONE JSON line.
+plus one global crop. ``vs_baseline`` compares against 1.0 img/s per
+reference GPU — a GENEROUS estimate: the reference publishes no
+throughput numbers (SURVEY.md §6), but its per-proposal host
+preprocessing (PIL crop → bicubic resize → center crop → normalize,
+``oadp/oake/objects.py:116-127``) measures 2.4 ms/crop on this host =
+2.5 s/image at 1024 proposals, so with its configured 2 dataloader
+workers (``configs/oake/base.py``) the reference is host-bound at
+<= 0.8 img/s/GPU regardless of GPU speed. Prints ONE JSON line.
 """
 
 import json
