@@ -5,8 +5,9 @@ so the rebuild carries its own COCOeval implementation, faithful to
 ``cocoeval.py``: greedy per-(image, category) matching at IoU thresholds
 0.50:0.05:0.95, crowd/area ignore semantics, 101-point interpolated
 precision, and the reference's evaluation protocol — maxDets
-``[100, 300, 1000]`` with AP reported at maxDets[-1] (reference
-``oadp/dp/datasets.py:104``).
+``[100, 300, 1000]`` with the headline mAP at maxDets=100 (the
+pycocotools ``_summarizeDets`` default) and AP50/75/s/m/l at
+maxDets[-1] (reference ``oadp/dp/datasets.py:104``).
 
 The OV-COCO triple summary (all / base / novel) slices the accumulated
 precision/recall tensors by category columns exactly like the reference
@@ -161,8 +162,12 @@ class CocoEvaluator:
 
     # -- per (img, cat) matching ------------------------------------------
 
-    def _evaluate_img(self, dts, gts, area_rng, max_det):
-        t = len(IOU_THRS)
+    def _evaluate_img(self, dts, gts, area_rng, max_det, ious=None):
+        """``dts`` must already be score-sorted and capped at the
+        largest maxDet; ``ious`` (optional) are the precomputed pair
+        IoUs against ``gts`` in their given order — pycocotools computes
+        IoUs ONCE per (img, cat) and re-slices per area range
+        (``cocoeval.py computeIoU``/``evaluateImg``)."""
         if len(dts) == 0 and len(gts) == 0:
             return None
         g_ignore = np.array([
@@ -178,14 +183,13 @@ class CocoEvaluator:
         iscrowd = np.array(
             [bool(g.get('iscrowd', 0)) for g in gts], dtype=bool
         )
-        d_scores = np.array([-d['score'] for d in dts], np.float64)
-        d_order = np.argsort(d_scores, kind='mergesort')[:max_det]
-        dts = [dts[i] for i in d_order]
-
+        dts = dts[:max_det]
         d_boxes = np.array([d['bbox'] for d in dts]).reshape(-1, 4)
-        ious = self._pair_ious(dts, gts, iscrowd)
+        if ious is None:
+            ious = self._pair_ious(dts, gts, iscrowd)
+        else:
+            ious = ious[:max_det][:, g_order]
 
-        nd, ng = len(dts), len(gts)
         dtm, dt_ignore = _match_pairs(ious, g_ignore, iscrowd)
         d_area = d_boxes[:, 2] * d_boxes[:, 3]
         out_of_range = (d_area < area_rng[0]) | (d_area > area_rng[1])
@@ -224,10 +228,25 @@ class CocoEvaluator:
             # evaluate at the largest maxDet; smaller caps re-slice
             per_area = [[] for _ in area_items]
             for img in self.img_ids:
+                dt_list = dts[(img, cat)]
+                gt_list = self._gts[(img, cat)]
+                if not dt_list and not gt_list:
+                    for ai in range(len(area_items)):
+                        per_area[ai].append(None)
+                    continue
+                # score-sort + IoUs ONCE per (img, cat); the per-area
+                # calls reorder gt columns only (pycocotools computeIoU)
+                d_order = np.argsort(
+                    [-d['score'] for d in dt_list], kind='mergesort'
+                )[:max_det_cap]
+                dt_list = [dt_list[i] for i in d_order]
+                iscrowd0 = np.array(
+                    [bool(g.get('iscrowd', 0)) for g in gt_list], bool
+                )
+                ious = self._pair_ious(dt_list, gt_list, iscrowd0)
                 for ai, rng in enumerate(area_items):
                     e = self._evaluate_img(
-                        dts[(img, cat)], self._gts[(img, cat)], rng,
-                        max_det_cap,
+                        dt_list, gt_list, rng, max_det_cap, ious,
                     )
                     per_area[ai].append(e)
             for ai in range(a):
@@ -284,12 +303,22 @@ class CocoEvaluator:
         recall: np.ndarray | None = None,
     ) -> dict[str, float]:
         """The six stats the reference logs (``oadp/dp/datasets.py:
-        86-97``): mAP, AP50, AP75, APs, APm, APl — at maxDets[-1]."""
-        p = self.eval['precision'] if precision is None else precision
+        86-97``): mAP, AP50, AP75, APs, APm, APl.
 
-        def ap(iou=None, area='all'):
+        pycocotools' ``_summarizeDets`` computes the headline mAP (the
+        ``''`` stat) at the DEFAULT ``maxDets=100`` even when
+        ``params.maxDets=[100, 300, 1000]``; only AP50/75/s/m/l use
+        ``maxDets[-1]``. Mirror that so the numbers are
+        protocol-compatible whenever an image has >100 detections
+        (common with ``score_thr=0``)."""
+        p = self.eval['precision'] if precision is None else precision
+        mi_headline = (
+            self.max_dets.index(100) if 100 in self.max_dets else -1
+        )
+
+        def ap(iou=None, area='all', mi=-1):
             ai = list(AREA_RNG).index(area)
-            s = p[:, :, :, ai, -1]
+            s = p[:, :, :, ai, mi]
             if iou is not None:
                 ti = int(np.argwhere(np.isclose(IOU_THRS, iou))[0][0])
                 s = s[ti:ti + 1]
@@ -297,7 +326,7 @@ class CocoEvaluator:
             return float(s.mean()) if s.size else -1.0
 
         return {
-            '': ap(),
+            '': ap(mi=mi_headline),
             '50': ap(iou=0.5),
             '75': ap(iou=0.75),
             's': ap(area='s'),

@@ -108,7 +108,7 @@ class DetEvaluator:
                 if img_id in results:
                     continue
                 if self._dump is not None:
-                    self._write_dump(img_id, out, i)
+                    self._write_dump(img_id, out, i, scale[i])
                     results[img_id] = []
                     continue
                 dets = out['dets'][i]
@@ -201,7 +201,7 @@ class DetEvaluator:
                 merged.extend(pickle.load(f))
         return merged
 
-    def _write_dump(self, img_id: int, out: dict, i: int) -> None:
+    def _write_dump(self, img_id: int, out: dict, i: int, scale) -> None:
         valid = out['proposal_valid'][i]
 
         def half(x):
@@ -210,8 +210,11 @@ class DetEvaluator:
             x = np.where(x < -1e9, -np.inf, x)
             return x.astype(np.float16)
 
+        # the reference dumps RESCALED boxes (simple_test_bboxes with
+        # rescale=True, oadp/dp/roi_heads.py:131-166) — test_calibrate
+        # evaluates records directly against original-coordinate annots
         record = {
-            'bboxes': half(out['boxes'][i][valid]),
+            'bboxes': half(out['boxes'][i][valid] / np.asarray(scale)),
             'bbox_logits': half(out['bbox_logits'][i][valid]),
             'object_logits': half(out['object_logits'][i][valid]),
             'objectness': half(out['objectness'][i][valid]),

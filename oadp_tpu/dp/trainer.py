@@ -17,7 +17,10 @@ Replaces mmdet's runner/DDP machinery (reference ``oadp/dp/train.py:
   TPU replacement for mmcv fp16 + loss scaling (``configs/dp/base.py:9``).
 """
 
-__all__ = ['TrainState', 'Trainer', 'sgd_init', 'lr_at']
+__all__ = [
+    'TrainState', 'Trainer', 'sgd_init', 'sgd_update', 'lr_at',
+    'trainable_mask_tree',
+]
 
 import dataclasses
 import time
@@ -73,6 +76,48 @@ def _lr_mult_tree(params: Params, rules: dict[str, float]) -> Params:
     }
 
 
+def trainable_mask_tree(params: Params, config) -> Params:
+    """Per-leaf trainable flags mirroring the model's ``stop_gradient``
+    rules.
+
+    ``torch.optim.SGD`` skips parameters whose grad is ``None`` — and
+    the reference's frozen pieces (frozen backbone stages,
+    ``oadp/dp/...`` CLIP text embeddings registered as buffers, the
+    object head's frozen background embedding) therefore never receive
+    the coupled weight decay. A pure ``stop_gradient`` only zeroes the
+    gradient, so without this mask those leaves would still decay by
+    ``lr*wd`` every step (~14% over a 40k run). ``config`` is a
+    :class:`~oadp_tpu.models.detector.DetectorConfig`.
+    """
+
+    def full(tree, val):
+        return jax.tree.map(lambda _: val, tree)
+
+    mask = {k: full(v, True) for k, v in params.items()}
+    fs = config.backbone.frozen_stages
+    bb = params['backbone']
+    if fs >= 0:
+        mask['backbone']['stem'] = full(bb['stem'], False)
+    for i in range(1, 5):
+        name = f'layer{i}'
+        if fs >= i and name in bb:
+            mask['backbone'][name] = full(bb[name], False)
+    heads = [
+        ('bbox_head', config.bbox_head.classifier),
+        ('object_head', config.object_head.classifier),
+        ('block_head', config.block_head.classifier),
+        ('global_head', config.global_cls),
+    ]
+    for head, cls_cfg in heads:
+        if head not in params:
+            continue
+        cls = params[head]['cls']
+        mask[head]['cls']['embeddings'] = full(cls['embeddings'], False)
+        if cls_cfg.freeze_bg and 'bg' in cls:
+            mask[head]['cls']['bg'] = full(cls['bg'], False)
+    return mask
+
+
 def sgd_update(
     params: Params,
     grads: Params,
@@ -81,15 +126,25 @@ def sgd_update(
     lr_mults: Params,
     momentum: float = 0.9,
     weight_decay: float = 2.5e-5,
+    trainable: Params | None = None,
 ) -> tuple[Params, Params]:
-    """torch.optim.SGD: ``buf = m*buf + (g + wd*p); p -= lr*mult*buf``."""
+    """torch.optim.SGD: ``buf = m*buf + (g + wd*p); p -= lr*mult*buf``.
 
-    def upd(p, g, b, m):
+    Leaves marked ``False`` in ``trainable`` are returned untouched —
+    torch skips ``grad is None`` params entirely, so neither weight
+    decay nor the momentum buffer applies to them.
+    """
+    if trainable is None:
+        trainable = jax.tree.map(lambda _: True, params)
+
+    def upd(p, g, b, m, t):
+        if not t:  # static python bool — resolved at trace time
+            return p, b
         g = g.astype(jnp.float32) + weight_decay * p.astype(jnp.float32)
         b = momentum * b + g
         return (p - lr * m * b).astype(p.dtype), b
 
-    flat = jax.tree.map(upd, params, grads, bufs, lr_mults)
+    flat = jax.tree.map(upd, params, grads, bufs, lr_mults, trainable)
     new_params = jax.tree.map(lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple))
     new_bufs = jax.tree.map(lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple))
     return new_params, new_bufs
@@ -152,8 +207,16 @@ class Trainer:
         self.ckpt_by_epoch = bool(
             trainer_cfg.get('checkpoint_config', {}).get('by_epoch', True)
         )
+        # Under mmcv's EpochBasedRunner the EvalHook interval counts
+        # EPOCHS (configs/dp/schedules/2x.py: interval=4 => every 4
+        # epochs), under IterBasedRunner it counts iters.
         self.eval_interval = int(
             trainer_cfg.get('evaluation', {}).get('interval', 2000)
+        )
+        self.eval_by_epoch = bool(
+            trainer_cfg.get('evaluation', {}).get(
+                'by_epoch', self.epoch_based
+            )
         )
         self.seed = int(trainer_cfg.get('seed', 3407))
         # optional jax.profiler window: profile=dict(start=i, stop=j,
@@ -180,15 +243,25 @@ class Trainer:
         anchors = canvas_anchors(config, canvas)
         milestones = self._milestone_iters(epoch_len)
         lr_mults = _lr_mult_tree(self.bundle.params, self.lr_rules)
+        trainable = trainable_mask_tree(self.bundle.params, config)
         base_lr = self.base_lr
         momentum, wd = self.momentum, self.weight_decay
         warmup_iters, warmup_ratio = self.warmup_iters, self.warmup_ratio
+        # The reference's sum-reduced global distill loss runs per-GPU
+        # under DDP whose grad all-reduce MEANS across ranks, so its
+        # effective gradient is sum/world_size; the single jitted step
+        # here sees the global batch and must divide explicitly.
+        n_dev = self.n_devices
 
         def step_fn(params, stats, bufs, batch, step, rng):
             def loss_fn(p):
                 losses, new_stats = DET.forward_train(
                     p, stats, batch, config, anchors, step, rng
                 )
+                if 'loss_clip_global' in losses:
+                    losses['loss_clip_global'] = (
+                        losses['loss_clip_global'] / n_dev
+                    )
                 total = sum(
                     v for k, v in losses.items() if k.startswith('loss')
                 )
@@ -201,7 +274,7 @@ class Trainer:
                 step, base_lr, milestones, warmup_iters, warmup_ratio
             )
             params, bufs = sgd_update(
-                params, grads, bufs, lr, lr_mults, momentum, wd
+                params, grads, bufs, lr, lr_mults, momentum, wd, trainable
             )
             losses['total'] = total
             losses['lr'] = lr
@@ -290,6 +363,7 @@ class Trainer:
                     self.save(state)
                 if (
                     self.evaluator is not None
+                    and not self.eval_by_epoch
                     and step % self.eval_interval == 0
                 ):
                     metrics = self.evaluator.run(state.params, state.stats)
@@ -298,6 +372,13 @@ class Trainer:
             if self.ckpt_by_epoch and self.epoch_based:
                 if epoch % max(self.ckpt_interval, 1) == 0:
                     self.save(state)
+            if (
+                self.evaluator is not None
+                and self.eval_by_epoch
+                and epoch % max(self.eval_interval, 1) == 0
+            ):
+                metrics = self.evaluator.run(state.params, state.stats)
+                logger.info('eval @epoch %d: %s', epoch, metrics)
         self.save(state)
         return state
 

@@ -186,3 +186,21 @@ def test_eval_speed_smoke():
     stats = ev.summarize()
     assert 0.3 < stats['50'] <= 1.0
     assert stats[''] <= stats['50']
+
+
+def test_headline_map_at_maxdets_100():
+    """pycocotools' _summarizeDets computes the '' stat at the default
+    maxDets=100 even with params.maxDets=[100,300,1000]; only
+    AP50/75/s/m/l use maxDets[-1]. A TP ranked past 100 must therefore
+    lift AP50 but not the headline mAP."""
+    ds = _dataset([(0, 1, (10, 10, 50, 50))])
+    ev = CocoEvaluator(ds, [1], max_dets=(100, 300, 1000))
+    dets = [
+        _det(0, 1, (200 + j, 500, 5, 5), 0.9 - j * 0.001)
+        for j in range(110)
+    ]
+    dets.append(_det(0, 1, (10, 10, 50, 50), 0.1))  # TP ranked 111th
+    ev.evaluate(dets)
+    stats = ev.summarize()
+    assert stats[''] == 0.0  # cut by the maxDets=100 cap
+    assert stats['50'] > 0.0  # found at maxDets=1000

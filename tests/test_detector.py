@@ -256,3 +256,52 @@ def test_detector_learns(setup):
         losses.append(float(sup))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+
+def test_trainable_mask_matches_stop_gradient_rules(setup):
+    """Frozen leaves (frozen backbone stages, CLIP text embeddings, the
+    object head's frozen bg) must be skipped by the optimizer entirely —
+    torch.optim.SGD never applies weight decay to grad-None params."""
+    from oadp_tpu.dp.trainer import (
+        _lr_mult_tree,
+        sgd_init,
+        sgd_update,
+        trainable_mask_tree,
+    )
+
+    config, params, stats, _ = setup
+    mask = trainable_mask_tree(params, config)
+    # structure identical to params
+    assert jax.tree.structure(mask) == jax.tree.structure(params)
+    # frozen_stages=1: stem + layer1 frozen, layer2+ trains
+    assert not any(jax.tree.leaves(mask['backbone']['stem']))
+    assert not any(jax.tree.leaves(mask['backbone']['layer1']))
+    assert all(jax.tree.leaves(mask['backbone']['layer2']))
+    # text embeddings frozen everywhere; bg frozen only on object head
+    assert mask['bbox_head']['cls']['embeddings'] is False
+    assert mask['object_head']['cls']['embeddings'] is False
+    assert mask['global_head']['cls']['embeddings'] is False
+    assert mask['object_head']['cls']['bg'] is False
+    assert mask['bbox_head']['cls']['bg'] is True
+    assert all(jax.tree.leaves(mask['fpn']))
+    assert all(jax.tree.leaves(mask['rpn']))
+
+    # zero grads + nonzero wd: frozen leaves bit-identical, trainable
+    # leaves decay by exactly (1 - lr*wd)
+    lr, wd = 0.02, 1e-2
+    grads = jax.tree.map(jnp.zeros_like, params)
+    p2, _ = sgd_update(
+        params, grads, sgd_init(params), jnp.asarray(lr),
+        _lr_mult_tree(params, {}), 0.9, wd, mask,
+    )
+    for m, a, b in zip(
+        jax.tree.leaves(mask), jax.tree.leaves(params),
+        jax.tree.leaves(p2),
+    ):
+        if m:
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a) * (1 - lr * wd),
+                rtol=1e-6, atol=1e-8,
+            )
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -207,3 +207,31 @@ def test_train_with_val_dataset(in_workdir, monkeypatch):
         root / 'work_dirs' / 'dry_run' / 'e2e_twv' / 'train.log'
     ).read_text()
     assert 'iter 1/1' in log
+
+
+def test_write_dump_rescales_boxes():
+    """The reference dumps RESCALED boxes (simple_test_bboxes with
+    rescale=True); test_calibrate evaluates the records directly against
+    original-coordinate annotations."""
+    import numpy as np
+    from oadp_tpu.dp.evaluator import DetEvaluator
+
+    out = {
+        'proposal_valid': np.array([[True, True, False]]),
+        'boxes': np.array(
+            [[[10.0, 20.0, 30.0, 40.0], [1, 2, 3, 4], [5, 5, 5, 5]]],
+            np.float32,
+        ),
+        'bbox_logits': np.zeros((1, 3, 4), np.float32),
+        'object_logits': np.zeros((1, 3, 4), np.float32),
+        'objectness': np.ones((1, 3), np.float32),
+    }
+    store = {}
+    stub = type('Stub', (), {'_dump': store})()
+    scale = np.array([2.0, 2.0, 2.0, 2.0], np.float32)
+    DetEvaluator._write_dump(stub, 7, out, 0, scale)
+    rec = store['000000000007']
+    np.testing.assert_allclose(
+        np.asarray(rec['bboxes'], np.float32),
+        out['boxes'][0][:2] / 2.0,
+    )
