@@ -511,7 +511,11 @@ class Loader:
                 continue
             bs = self.batch_size
             if self.shuffle and n % bs:
-                idx = np.concatenate([idx, idx[:bs - n % bs]])
+                # wrap to a full batch; tile when the global batch
+                # exceeds the (sharded) dataset
+                pad = bs - n % bs
+                reps = np.tile(idx, -(-pad // n))[:pad]
+                idx = np.concatenate([idx, reps])
             for j in range(0, len(idx) - bs + 1, bs):
                 batches.append(list(idx[j:j + bs]))
             if not self.shuffle and len(idx) % bs:

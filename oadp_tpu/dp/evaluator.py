@@ -15,12 +15,14 @@ post-hoc calibration consumes these.
 __all__ = ['DetEvaluator']
 
 import functools
+import os
 import pathlib
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..base import Categories
 from ..models import detector as DET
@@ -43,6 +45,7 @@ class DetEvaluator:
         scale: tuple[int, int] = (1333, 800),
         bf16: bool = False,
         eval_type: str = 'ov_coco',
+        n_devices: int = 0,
     ) -> None:
         self.dataset = dataset
         self.config = config
@@ -50,6 +53,18 @@ class DetEvaluator:
         self.batch_size = batch_size
         self.bf16 = bf16
         self.eval_type = eval_type
+        # batches shard over a 1-D data mesh (replacing the reference's
+        # per-rank DDP test loop, oadp/dp/test.py:65-85); batch_size
+        # must be a multiple of n_devices
+        devices = jax.devices()[:n_devices or 1]
+        self.mesh = Mesh(np.asarray(devices), ('data',))
+        self.repl = NamedSharding(self.mesh, PartitionSpec())
+        self.shard = NamedSharding(self.mesh, PartitionSpec('data'))
+        if batch_size % len(devices):
+            raise ValueError(
+                f'batch_size {batch_size} not divisible by '
+                f'{len(devices)} devices'
+            )
         builder = BatchBuilder(
             canvas=canvas, with_clip=False,
             num_all=categories.num_all,
@@ -99,8 +114,14 @@ class DetEvaluator:
                     k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
                     for k, v in device_batch.items()
                 }
+            device_batch = {
+                k: jax.device_put(v, self.shard)
+                for k, v in device_batch.items()
+            }
             out = self._fn(device_batch['images'].shape[1:3])(
-                params, stats, device_batch
+                jax.device_put(params, self.repl),
+                jax.device_put(stats, self.repl),
+                device_batch,
             )
             out = jax.tree.map(np.asarray, out)
             for i in range(b):
@@ -169,33 +190,67 @@ class DetEvaluator:
             evaluator, self.categories.num_bases, self.categories.num_novels
         )
 
-    def _gather(self, detections: list[dict]) -> list[dict] | None:
+    #: monotonic per-evaluator round id — namespaces gather files so a
+    #: rerun never reads a previous round's parts
+    _gather_round = 0
+
+    def _gather(
+        self,
+        detections: list[dict],
+        process_index: int | None = None,
+        process_count: int | None = None,
+        root: pathlib.Path | str | None = None,
+        barrier=None,
+        timeout_s: float = 600.0,
+    ) -> list[dict] | None:
         """Multi-host result gather over the shared filesystem (the
         reference all-gathers python dicts over NCCL,
         ``oadp/dp/test_nni.py:144-150``; OAKE-style file exchange keeps
-        this backend-free). Single-process: identity."""
-        if jax.process_count() == 1:
+        this backend-free). Single-process: identity.
+
+        Each part is written to a temp file then atomically renamed, so
+        a part's existence implies it is complete — no partial reads.
+        The injectable ``process_index``/``process_count``/``barrier``
+        exist for tests; production uses jax's process topology and the
+        multihost device barrier.
+        """
+        pc = jax.process_count() if process_count is None else process_count
+        if pc == 1:
             return detections
+        pi = jax.process_index() if process_index is None else process_index
         import pickle
         import tempfile
         import time as time_mod
+        rnd = DetEvaluator._gather_round
+        DetEvaluator._gather_round += 1
         root = pathlib.Path(
-            Store.DUMP or tempfile.gettempdir()
+            root if root is not None
+            else (Store.DUMP or tempfile.gettempdir())
         ) / 'eval_gather'
         root.mkdir(parents=True, exist_ok=True)
-        mine = root / f'part_{jax.process_index():04d}.pkl'
-        with open(mine, 'wb') as f:
+        final = root / f'round{rnd:04d}_part_{pi:04d}.pkl'
+        tmp = final.with_suffix('.tmp')
+        with open(tmp, 'wb') as f:
             pickle.dump(detections, f)
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices('eval_gather')
-        if jax.process_index() != 0:
+        os.replace(tmp, final)  # atomic publish
+        if barrier is None:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f'eval_gather_{rnd}')
+        else:
+            barrier()
+        if pi != 0:
             return None
         merged: list[dict] = []
-        for p in range(jax.process_count()):
-            part = root / f'part_{p:04d}.pkl'
-            for _ in range(600):
-                if part.exists():
-                    break
+        deadline = time_mod.monotonic() + timeout_s
+        for p in range(pc):
+            part = root / f'round{rnd:04d}_part_{p:04d}.pkl'
+            while not part.exists():
+                if time_mod.monotonic() > deadline:
+                    raise TimeoutError(
+                        f'eval gather: {part} missing after '
+                        f'{timeout_s}s'
+                    )
                 time_mod.sleep(0.1)
             with open(part, 'rb') as f:
                 merged.extend(pickle.load(f))

@@ -71,6 +71,10 @@ def main(argv=None) -> dict:
         scale=tuple(batch_cfg.get('scale', (1333, 800))),
         eval_type='lvis' if config.categories == 'lvis' else 'ov_coco',
         bf16=bool(config.get('validator', Config()).get('bf16', False)),
+        n_devices=(
+            int(config.get('trainer', Config()).get('n_devices', 0))
+            or jax.local_device_count()
+        ),
     )
     metrics = evaluator.run(bundle.params, bundle.stats)
     if jax.process_index() == 0:

@@ -126,6 +126,7 @@ def build_evaluator(config: Config, categories, bundle, bf16: bool):
         scale=tuple(batch_cfg.get('scale', (1333, 800))),
         eval_type='lvis' if config.categories == 'lvis' else 'ov_coco',
         bf16=bf16,
+        n_devices=_n_devices(config),
     )
 
 

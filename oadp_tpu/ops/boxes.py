@@ -56,6 +56,13 @@ def expand_boxes(
     ADAPTIVE: side = sqrt(area * scale_ratio), centered on the proposal,
     then translated to lie inside the image where possible (kept centered
     when larger than the image).
+
+    RECTANGLE: no expansion — the proposal's own width/height are kept
+    per-axis (then the same in-image translation applies). The reference
+    declares this mode (``objects.py:32-36``) but its ``_expand`` falls
+    through to a no-op ``assert ValueError(...)`` and crashes with an
+    unbound ``length``; the natural semantics are implemented here so the
+    CLI surface (``--override`` of ``expand_mode``) is usable.
     """
     boxes = np.asarray(boxes, np.float32)
     c = center(boxes)
@@ -65,6 +72,8 @@ def expand_boxes(
         length = np.full((len(boxes), 1), constant, np.float32)
     elif mode == 'LONGEST_EDGE':
         length = wh(boxes).max(-1, keepdims=True)
+    elif mode == 'RECTANGLE':
+        length = wh(boxes)  # (N, 2): per-axis, no squaring
     else:
         raise ValueError(mode)
 

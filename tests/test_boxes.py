@@ -83,3 +83,24 @@ def test_pairwise_iou_and_intersection():
     np.testing.assert_allclose(inter, [[25, 0]])
     iou = B.pairwise_iou(a, b)
     np.testing.assert_allclose(iou, [[25 / 175, 0]], atol=1e-6)
+
+
+def test_expand_rectangle_mode():
+    """RECTANGLE keeps the proposal's own rectangle (no squaring); the
+    in-image translation still applies. The reference declares the mode
+    (oadp/oake/objects.py:32-36) but crashes on it — see
+    ops/boxes.py docstring."""
+    import numpy as np
+    from oadp_tpu.ops.boxes import expand_boxes
+
+    boxes = np.array([
+        [10.0, 20.0, 50.0, 90.0],   # fully inside: identity
+        [-5.0, 10.0, 35.0, 50.0],   # crosses the left edge: translated
+    ])
+    out = expand_boxes(boxes, 200.0, 200.0, mode='RECTANGLE')
+    np.testing.assert_allclose(out[0], boxes[0])
+    np.testing.assert_allclose(out[1], [0.0, 10.0, 40.0, 50.0])
+    # wider than the image: kept centered (offset suppressed)
+    wide = np.array([[-10.0, 50.0, 250.0, 90.0]])
+    out = expand_boxes(wide, 200.0, 200.0, mode='RECTANGLE')
+    np.testing.assert_allclose(out[0], wide[0])

@@ -2,13 +2,14 @@
 
 The reference drives an NNI TPE experiment over 9 ensemble-calibration
 scalars; NNI is not available in this environment, so the built-in
-driver runs random search over the same space in-process (records are
-loaded once, trials are jitted re-scores). With ``--nni`` and nni
-installed, it launches the equivalent NNI experiment instead.
+driver runs an in-process TPE (``oadp_tpu.utils.search.TpeSampler``,
+matching NNI's tuner scheme) — or pure random search with
+``--sampler random`` — over the same space (records are loaded once,
+trials are jitted re-scores).
 
 Usage:
     python tools/calibrate_sweep.py <config> <dump_root> \
-        [--trials 100] [--seed 0]
+        [--trials 100] [--seed 0] [--sampler tpe|random]
 """
 
 import argparse
@@ -25,6 +26,7 @@ from oadp_tpu.dp.test_calibrate import (  # noqa: E402
     CalibrationRunner,
 )
 from oadp_tpu.utils import Config, logger  # noqa: E402
+from oadp_tpu.utils.search import TpeSampler  # noqa: E402
 
 # reference search space (tools/nni_dp_test.py:17-57)
 SEARCH_SPACE = {
@@ -46,30 +48,40 @@ def main() -> None:
     parser.add_argument('root')
     parser.add_argument('--trials', type=int, default=100)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--sampler', choices=('tpe', 'random'),
+                        default='tpe')
     parser.add_argument('--output', default='work_dirs/calibration.json')
     args = parser.parse_args()
 
     runner = CalibrationRunner(args.config, args.root)
     key = f'COCO_{Globals.categories.num_bases}_bbox_mAP_50'
     rng = np.random.default_rng(args.seed)
+    sampler = (
+        TpeSampler(SEARCH_SPACE, seed=args.seed)
+        if args.sampler == 'tpe' else None
+    )
 
     best = (-1.0, dict(DEFAULT_PARAMS))
     history = []
-    # trial 0 = the reference defaults (lambda 2/3 / 1/3)
-    candidates = [dict(DEFAULT_PARAMS)]
-    for _ in range(max(args.trials - 1, 0)):
-        candidates.append({
-            k: float(rng.uniform(lo, hi))
-            for k, (lo, hi) in SEARCH_SPACE.items()
-        })
-    for i, params in enumerate(candidates):
+    for i in range(args.trials):
+        if i == 0:  # trial 0 = the reference defaults (lambda 2/3, 1/3)
+            params = dict(DEFAULT_PARAMS)
+        elif sampler is not None:
+            params = sampler.ask()
+        else:
+            params = {
+                k: float(rng.uniform(lo, hi))
+                for k, (lo, hi) in SEARCH_SPACE.items()
+            }
         metrics = runner.run_trial(params)
         value = float(metrics.get(key, -1.0))
+        if sampler is not None:
+            sampler.tell(params, value)
         history.append({'params': params, key: value})
         if value > best[0]:
             best = (value, params)
         logger.info('trial %d/%d: %s=%.4f (best %.4f)',
-                    i + 1, len(candidates), key, value, best[0])
+                    i + 1, args.trials, key, value, best[0])
 
     out = {'best_value': best[0], 'best_params': best[1],
            'metric': key, 'history': history}
