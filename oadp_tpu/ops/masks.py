@@ -17,6 +17,14 @@ static-shape TPU pipeline, so:
   compute mask IoU per detection/gt pair on the intersection rectangle
   only (areas from each mask's own box), so full-image bitmaps are never
   allocated.
+
+Deviation vs the reference's pycocotools RLE semantics: the per-pixel
+even-odd raster differs from an 8×-supersampled oracle by **≤ 0.05
+absolute IoU** on adversarial shapes (rings with holes, multi-part,
+sub-pixel slivers, stars, .49/.51 sub-pixel vertices) — measured by
+``tests/test_masks.py::test_mask_iou_adversarial_bound``; polygon areas
+converge within half a perimeter-pixel
+(``test_polygon_raster_area_converges``).
 """
 
 __all__ = [

@@ -192,3 +192,126 @@ def test_mask_head_torch_parity():
         want = net(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     got = np.asarray(mask_head_forward(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def _hires_gt_area(polys, box, S=8):
+    """Supersampled polygon area oracle (S^2 samples per pixel)."""
+    from oadp_tpu.ops.masks import polygon_raster_np
+    x0, y0 = int(np.floor(box[0])), int(np.floor(box[1]))
+    w = int(np.ceil(box[2])) - x0 + 1
+    h = int(np.ceil(box[3])) - y0 + 1
+    scaled = [list(np.asarray(p, np.float64) * S) for p in polys]
+    r = polygon_raster_np(scaled, x0 * S, y0 * S, w * S, h * S)
+    return r, (x0, y0, w, h)
+
+
+def _hires_iou(dt_mask, dt_box, polys, gt_box, S=8, thr=0.5):
+    """Supersampled IoU oracle over the union rectangle of both boxes."""
+    from oadp_tpu.ops.masks import paste_mask_np, polygon_raster_np
+    x0 = int(np.floor(min(dt_box[0], gt_box[0])))
+    y0 = int(np.floor(min(dt_box[1], gt_box[1])))
+    x1 = int(np.ceil(max(dt_box[2], gt_box[2]))) + 1
+    y1 = int(np.ceil(max(dt_box[3], gt_box[3]))) + 1
+    w, h = x1 - x0, y1 - y0
+    dr = paste_mask_np(
+        dt_mask, np.asarray(dt_box, np.float64) * S,
+        x0 * S, y0 * S, w * S, h * S, thr,
+    )
+    scaled = [list(np.asarray(p, np.float64) * S) for p in polys]
+    gr = polygon_raster_np(scaled, x0 * S, y0 * S, w * S, h * S)
+    inter = int((dr & gr).sum())
+    union = int(dr.sum()) + int(gr.sum()) - inter
+    return inter / union if union else 0.0
+
+
+def test_mask_iou_adversarial_bound():
+    """Quantify the polygon-raster IoU deviation vs a supersampled
+    oracle on adversarial shapes (the reference uses pycocotools RLE;
+    this pins the per-pixel approximation to a documented bound).
+    Shapes: ring with hole, multi-part, thin diagonal sliver, star,
+    sub-pixel offsets."""
+    from oadp_tpu.ops.masks import mask_iou_pairs, polygon_raster_np
+
+    def ring(cx, cy, r_out, r_in, n=64):
+        t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        outer = np.stack([cx + r_out * np.cos(t),
+                          cy + r_out * np.sin(t)], -1).reshape(-1)
+        inner = np.stack([cx + r_in * np.cos(t),
+                          cy + r_in * np.sin(t)], -1).reshape(-1)
+        return [list(outer), list(inner)]  # even-odd: hole
+
+    def star(cx, cy, r1, r2, n=10):
+        t = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False)
+        r = np.where(np.arange(2 * n) % 2 == 0, r1, r2)
+        return [list(np.stack([cx + r * np.cos(t),
+                               cy + r * np.sin(t)], -1).reshape(-1))]
+
+    cases = [
+        ('ring', ring(30.3, 28.7, 20.0, 9.5), (9.3, 7.7, 51.3, 49.7)),
+        ('two-part', [
+            [5.2, 5.8, 25.1, 5.8, 25.1, 24.9, 5.2, 24.9],
+            [40.6, 40.1, 58.9, 40.1, 58.9, 58.4, 40.6, 58.4],
+        ], (5.2, 5.8, 58.9, 58.4)),
+        ('sliver', [[2.2, 3.1, 60.7, 55.4, 61.5, 56.9, 3.0, 4.6]],
+         (2.2, 3.1, 61.5, 56.9)),
+        ('star', star(32.1, 31.4, 28.0, 9.0), (4.1, 3.4, 60.1, 59.4)),
+        ('subpixel', [[10.49, 10.51, 40.51, 10.49, 40.49, 40.51,
+                       10.51, 40.49]], (10.49, 10.49, 40.51, 40.51)),
+    ]
+
+    worst = 0.0
+    for name, polys, gt_box in cases:
+        gt_box = np.asarray(gt_box, np.float64)
+        # dt = the same shape, downsampled to the 28x28 paste mask (the
+        # production detection representation), box jittered half a pixel
+        dt_box = gt_box + np.array([0.4, -0.3, 0.2, 0.5])
+        x0, y0 = dt_box[0], dt_box[1]
+        bw, bh = dt_box[2] - x0, dt_box[3] - y0
+        m = 28
+        xs = x0 + (np.arange(m) + 0.5) / m * bw
+        ys = y0 + (np.arange(m) + 0.5) / m * bh
+        # sample the polygon at the 28-grid centers -> soft-ish mask
+        grid = polygon_raster_np(
+            [list(np.asarray(p, np.float64) * m / max(bw, bh))
+             for p in polys],
+            x0 * m / max(bw, bh), y0 * m / max(bw, bh), m, m,
+        ).astype(np.float32)
+        ours = mask_iou_pairs(
+            [(grid, dt_box)], [polys], gt_box[None], np.array([False]),
+        )[0, 0]
+        ref = _hires_iou(grid, dt_box, polys, gt_box, S=8)
+        dev = abs(ours - ref)
+        worst = max(worst, dev)
+        # per-case bound: 0.05 absolute IoU even for slivers/holes
+        assert dev <= 0.05, (name, ours, ref, dev)
+        if ref > 0.3:  # sanity when the pair genuinely overlaps
+            assert ours > 0.2, (name, ours, ref)
+    # documented global bound (ops/masks.py module docstring)
+    assert worst <= 0.05, worst
+
+
+def test_polygon_raster_area_converges():
+    """Per-pixel polygon areas converge to the supersampled truth within
+    half a pixel of boundary length (even-odd raster error bound)."""
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        n = int(rng.integers(5, 12))
+        t = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(5, 25, n)
+        cx, cy = rng.uniform(30, 40, 2)
+        poly = list(np.stack([cx + r * np.cos(t),
+                              cy + r * np.sin(t)], -1).reshape(-1))
+        xs = poly[0::2]
+        ys = poly[1::2]
+        box = (min(xs), min(ys), max(xs), max(ys))
+        from oadp_tpu.ops.masks import polygon_raster_np
+        coarse, (x0, y0, w, h) = _hires_gt_area([poly], box, S=1)
+        fine, _ = _hires_gt_area([poly], box, S=8)
+        a1 = coarse.sum()
+        a8 = fine.sum() / 64.0
+        # boundary length bound: perimeter/2 pixels of slack
+        pts = np.stack([xs, ys], -1)
+        per = np.linalg.norm(
+            np.diff(np.concatenate([pts, pts[:1]]), axis=0), axis=1
+        ).sum()
+        assert abs(a1 - a8) <= 0.5 * per + 2.0, (a1, a8, per)
