@@ -1,42 +1,55 @@
-"""Benchmark: OAKE extraction throughput (images/sec/chip).
+"""Benchmark: OAKE extraction + DP train-step throughput per chip.
 
-Measures the end-to-end device pipeline of the hot path — the
-OAKE-objects masked attention-pool CLIP encoder with fused on-device
-crop/resize/normalize (reference hot loop: ``oadp/oake/objects.py:
-316-338`` + per-crop PIL preprocessing) plus the whole-image globals
-step, per SURVEY.md §6 / BASELINE.json ("OAKE images/sec/chip
-(globals+objects)").
+Line 1 (primary, same metric as round 1): the end-to-end OAKE-objects
+device pipeline — masked attention-pool CLIP encoder with fused
+on-device crop/resize/normalize (reference hot loop:
+``oadp/oake/objects.py:316-338`` + per-crop PIL preprocessing) plus the
+whole-image globals step, per SURVEY.md §6 / BASELINE.json ("OAKE
+images/sec/chip (globals+objects)").
 
-One synthetic "image" = 1024 proposals (two full 512-crop mini-batches,
-the reference's ``mini_batch_size``, ``configs/oake/objects_coco.py:26``)
-plus one global crop. ``vs_baseline`` compares against 1.0 img/s per
-reference GPU — a GENEROUS estimate: the reference publishes no
-throughput numbers (SURVEY.md §6), but its per-proposal host
-preprocessing (PIL crop → bicubic resize → center crop → normalize,
-``oadp/oake/objects.py:116-127``) measures 2.4 ms/crop on this host =
-2.5 s/image at 1024 proposals, so with its configured 2 dataloader
-workers (``configs/oake/base.py``) the reference is host-bound at
-<= 0.8 img/s/GPU regardless of GPU speed. Prints ONE JSON line.
+One synthetic "image" = 1024 proposals in ONE device dispatch (the TPU
+``mini_batch_size``, ``configs/oake/objects_coco.py``) plus one global
+crop. The reference publishes no throughput numbers (SURVEY.md §6), so
+``vs_baseline`` divides by a MEASURED ceiling, not an estimate: the
+reference's per-proposal host preprocessing (PIL crop → bicubic resize
+→ center crop → normalize → full-res mask + interpolate,
+``oadp/oake/objects.py:116-167``) runs on its 2 dataloader workers
+(``configs/oake/base.py:7``), so per GPU it cannot exceed
+``workers / (ms_per_crop × 1024)`` img/s no matter how fast the GPU is.
+``tools/measure_reference_hostprep.py`` measures ms_per_crop with the
+exact torch/PIL ops — ~2.9 ms on this host → ~0.68 img/s/GPU — and the
+measurement is re-run inline here each time (``baseline`` field). The
+conservative round-1 comparison against a flat 1.0 img/s/GPU is kept
+as ``vs_1_imgs_est``.
+
+Line 2: the DP train step — full OADP detector (ResNet50+FPN+RPN+RCNN +
+OV heads, all losses + torch-SGD update) at the production geometry
+(batch 2, 832x1344, bf16), images/sec/chip. Reference schedule context:
+``configs/dp/schedules/40k.py``. Baseline: the reference trains OV-COCO
+at 16 images/iter across 8 GPUs with iteration times ~1.2 s (mmdet
+Faster R-CNN-class workloads on V100) => ~1.7 img/s/GPU.
 """
 
 import json
+import pathlib
+import sys
 import time
 
 import numpy as np
 
 
-def main() -> None:
+def bench_oake() -> dict:
     import jax
+    import jax.numpy as jnp
 
     from oadp_tpu.models import clip as C
     from oadp_tpu.oake.encoders import ClipModel, OakeSteps
+    from oadp_tpu.ops import preprocess as P
 
     pad = 640
-    mini = 512
-    n_batches = 2  # proposals per image = n_batches * mini
+    mini = 1024  # one dispatch per image (configs/oake/objects_coco.py)
 
-    dtype = 'bfloat16' if jax.default_backend() == 'tpu' else 'float32'
-    import jax.numpy as jnp
+    dtype = 'float32' if jax.default_backend() == 'cpu' else 'bfloat16'
     jdtype = jnp.bfloat16 if dtype == 'bfloat16' else jnp.float32
 
     # Build params on the CPU backend (init is many tiny ops — slow to
@@ -60,8 +73,6 @@ def main() -> None:
     model = ClipModel(params, config, surgery_params, surgery_config)
     steps = OakeSteps(model, pad, pad)
 
-    from oadp_tpu.ops import preprocess as P
-
     rng = np.random.default_rng(0)
     image = rng.integers(0, 256, (pad, pad, 3), np.uint8)
     g = model.grid
@@ -81,12 +92,10 @@ def main() -> None:
     )
 
     def one_image():
-        outs = [
-            steps.objects_step(image, meta, masks, k)
-            for _ in range(n_batches)
+        return [
+            steps.objects_step(image, meta, masks, k),
+            steps.globals_step(image[None], gmeta, k),
         ]
-        outs.append(steps.globals_step(image[None], gmeta, k))
-        return outs
 
     def sync(outs):
         # fetch to host: block_until_ready is unreliable on tunneled
@@ -109,13 +118,138 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     imgs_per_sec = n_images / dt
-    baseline = 1.0  # estimated reference img/s per V100 (see docstring)
-    print(json.dumps({
+    # measured host-prep ceiling of the reference (see module docstring)
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from tools.measure_reference_hostprep import measure_ms_per_crop
+    ms_per_crop = measure_ms_per_crop(256, pad)
+    baseline = 2.0 / (ms_per_crop / 1000.0 * mini)
+    return {
         'metric': 'oake_images_per_sec_per_chip',
         'value': round(imgs_per_sec, 3),
         'unit': 'images/sec/chip (1024 proposals + 1 global per image)',
         'vs_baseline': round(imgs_per_sec / baseline, 3),
-    }))
+        'baseline': round(baseline, 3),
+        'baseline_kind': 'measured reference host-prep ceiling '
+                         '(img/s/GPU, 2 workers)',
+        'vs_1_imgs_est': round(imgs_per_sec / 1.0, 3),
+    }
+
+
+def bench_dp_train() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from oadp_tpu.dp.builder import canvas_anchors
+    from oadp_tpu.dp.trainer import (
+        _lr_mult_tree,
+        lr_at,
+        sgd_init,
+        sgd_update,
+        trainable_mask_tree,
+    )
+    from oadp_tpu.models import detector as DET
+
+    b, canvas = 2, (832, 1344)
+    g, kk, o = 32, 64, 256
+    emb_dim = 512
+    config = DET.DetectorConfig.build(48, 65, backbone_style='caffe')
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((65, emb_dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    with jax.default_device(jax.devices('cpu')[0]):
+        params, stats = DET.init_detector(
+            jax.random.key(0), config, jnp.asarray(emb)
+        )
+    device = jax.devices()[0]
+    params = jax.device_put(params, device)
+    stats = jax.device_put(stats, device)
+    bufs = jax.device_put(sgd_init(params), device)
+    anchors = canvas_anchors(config, canvas)
+    lr_mults = _lr_mult_tree(params, {'bbox_head': 0.5})
+    trainable = trainable_mask_tree(params, config)
+
+    def train_step(params, stats, bufs, batch, step, key):
+        def loss_fn(p):
+            losses, new_stats = DET.forward_train(
+                p, stats, batch, config, anchors, step, key
+            )
+            total = sum(
+                v for k2, v in losses.items() if k2.startswith('loss')
+            )
+            return total, new_stats
+
+        (total, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        lr = lr_at(step, 0.02, (30000,))
+        params, bufs = sgd_update(
+            params, grads, bufs, lr, lr_mults, trainable=trainable
+        )
+        return params, new_stats, bufs, total
+
+    xy = rng.uniform(0, 600, (b, g, 2))
+    gt = np.concatenate([xy, xy + rng.uniform(16, 200, (b, g, 2))], -1)
+    oxy = rng.uniform(0, 600, (b, o, 2))
+    ob = np.concatenate([oxy, oxy + rng.uniform(16, 200, (b, o, 2))], -1)
+    bxy = rng.uniform(0, 500, (b, kk, 2))
+    bb = np.concatenate([bxy, bxy + rng.uniform(64, 300, (b, kk, 2))], -1)
+    batch = {
+        'images': rng.standard_normal(
+            (b, *canvas, 3)
+        ).astype(np.float32).astype(jnp.bfloat16),
+        'img_hw': np.asarray([list(canvas)] * b, np.float32),
+        'gt_boxes': gt.astype(np.float32),
+        'gt_labels': rng.integers(0, 48, (b, g)).astype(np.int32),
+        'gt_valid': np.ones((b, g), bool),
+        'clip_global': rng.standard_normal((b, emb_dim)).astype(np.float32),
+        'block_boxes': bb.astype(np.float32),
+        'block_labels': (rng.random((b, kk, 65)) > 0.9),
+        'clip_blocks': rng.standard_normal(
+            (b, kk, emb_dim)
+        ).astype(np.float32),
+        'block_valid': np.ones((b, kk), bool),
+        'object_boxes': ob.astype(np.float32),
+        'clip_objects': rng.standard_normal(
+            (b, o, emb_dim)
+        ).astype(np.float32),
+        'object_valid': np.ones((b, o), bool),
+    }
+    batch = {k2: jax.device_put(v, device) for k2, v in batch.items()}
+
+    step_fn = jax.jit(train_step, donate_argnums=(0, 1, 2))
+    key = jax.random.key(0)
+    state = (params, stats, bufs)
+    for i in range(2):  # compile + warm
+        *state, total = step_fn(*state, batch, jnp.asarray(i), key)
+        float(total)  # sync via host fetch
+    n_steps = 10
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        *state, total = step_fn(*state, batch, jnp.asarray(10 + i), key)
+    float(total)  # the chain serializes on donated state
+    dt = time.perf_counter() - t0
+    imgs_per_sec = n_steps * b / dt
+    baseline = 1.7  # reference ~1.7 img/s/GPU (see docstring)
+    return {
+        'metric': 'dp_train_images_per_sec_per_chip',
+        'value': round(imgs_per_sec, 3),
+        'unit': 'images/sec/chip (batch 2, 832x1344, bf16)',
+        'vs_baseline': round(imgs_per_sec / baseline, 3),
+    }
+
+
+def main() -> None:
+    from oadp_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(json.dumps(bench_oake()), flush=True)
+    try:
+        print(json.dumps(bench_dp_train()), flush=True)
+    except Exception as e:  # secondary metric must not kill the primary
+        print(json.dumps({
+            'metric': 'dp_train_images_per_sec_per_chip',
+            'error': str(e)[:200],
+        }), flush=True)
 
 
 if __name__ == '__main__':

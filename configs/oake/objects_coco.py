@@ -21,5 +21,7 @@ val = dict(
     ),
 )
 log = dict(interval=5)
-mini_batch_size = 512
+# GPU-memory knob in the reference (512, objects_coco.py:26); one
+# 1024-crop dispatch halves device-call round trips on TPU (16G HBM)
+mini_batch_size = 1024
 expand_mode = 'ADAPTIVE'

@@ -390,62 +390,89 @@ def image_encoder_surgery(
     # (B, 1, 1, n_patches + 1) additive bias; broadcast over heads/queries.
     # Reference appends a zero column for y itself
     # (``oadp/oake/objects.py:209-213``).
-    bias = jnp.concatenate(
+    from ..ops.attention import (
+        fused_side_attention,
+        fused_side_attention_supported,
+    )
+
+    bias_flat = jnp.concatenate(
         [
             masks.reshape(B, n_patches).astype(jnp.float32) * -100.0,
             jnp.zeros((B, 1), jnp.float32),
         ],
         axis=-1,
-    )[:, None, None, :]
+    )  # (B, P+1): patch biases then the side token's own (zero)
+    bias = bias_flat[:, None, None, :]
+    use_side_kernel = fused_side_attention_supported(heads, D // heads)
 
     y = x[:, :1]
-    for block in params['blocks']:
+    n_blocks = len(params['blocks'])
+    for bi, block in enumerate(params['blocks']):
         attn = block['attn']
         qkv_w, qkv_b = attn['qkv_w'], attn['qkv_b']
+        last = bi == n_blocks - 1
         # Shared work: the side stream's ln_1 and K/V over the patch
         # tokens are IDENTICAL to the main stream's (same weights, same
         # input — reference ``oadp/oake/objects.py:238-245`` recomputes
         # them through hooks; here they are computed once).
         ln_x = _layer_norm(x, block['ln_1'])
-        qkv = ln_x @ qkv_w + qkv_b  # (B, N, 3D)
-        _, k, v = jnp.split(qkv, 3, axis=-1)
+        if last:
+            # the final x is discarded — only this block's K/V feed the
+            # side stream, so the main attention, its out-projection,
+            # the x MLP AND the q third of the qkv matmul are skipped
+            # (~7% of the encoder FLOPs; y is bit-identical)
+            kv = ln_x @ qkv_w[:, D:] + qkv_b[D:]
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            qkv = ln_x @ qkv_w + qkv_b  # (B, N, 3D)
+            _, k, v = jnp.split(qkv, 3, axis=-1)
 
-        # Main stream: standard unmasked self-attention + MLP.
-        main = _self_attention_packed(qkv, heads)
-        x = x + (main @ attn['out_w'] + attn['out_b'])
+            # Main stream: standard unmasked self-attention + MLP.
+            main = _self_attention_packed(qkv, heads)
+            x = x + (main @ attn['out_w'] + attn['out_b'])
 
         # Side stream: q = ln_1(y); keys/values = [patch K/V, y's own].
-        # The K/V concat is done on the tiny LOGITS instead of the
-        # (B, N, D) tensors — appending one row to K and V would
-        # otherwise materialize two full activation tensors per layer.
         ln_y = _layer_norm(y, block['ln_1'])
         qkv_y = ln_y @ qkv_w + qkv_b  # (B, 1, 3D)
         qy, ky, vy = jnp.split(qkv_y, 3, axis=-1)
-        qy_h = _split_heads(qy, heads)  # (B, h, 1, d)
-        ky_h = _split_heads(ky, heads)
-        vy_h = _split_heads(vy, heads)
-        k_p = _split_heads(k[:, 1:], heads)  # (B, h, P, d)
-        v_p = _split_heads(v[:, 1:], heads)
-        d_h = qy_h.shape[-1]
-        scale = 1.0 / math.sqrt(d_h)
-        logits_p = jnp.einsum(
-            'bhmd,bhnd->bhmn', qy_h * scale, k_p,
-            preferred_element_type=jnp.float32,
-        )
-        logit_y = (qy_h * scale * ky_h).sum(
-            -1, keepdims=True
-        ).astype(jnp.float32)
-        logits = jnp.concatenate([logits_p, logit_y], axis=-1) + bias
-        weights = jax.nn.softmax(logits, axis=-1).astype(v_p.dtype)
-        side = (
-            jnp.einsum('bhmn,bhnd->bhmd', weights[..., :-1], v_p)
-            + weights[..., -1:] * vy_h
-        )
-        side = side.transpose(0, 2, 1, 3).reshape(B, 1, D)
+        if use_side_kernel:
+            # Pallas: reads K/V in native (B, N, D) layout — the jnp
+            # path below materializes two (B, h, P, d) transposes per
+            # layer, pure HBM traffic for a 1-query attention.
+            side = fused_side_attention(
+                k, v, qy[:, 0], ky[:, 0], vy[:, 0], bias_flat, heads
+            )[:, None]
+        else:
+            # The K/V concat is done on the tiny LOGITS instead of the
+            # (B, N, D) tensors — appending one row to K and V would
+            # otherwise materialize two full activation tensors per
+            # layer.
+            qy_h = _split_heads(qy, heads)  # (B, h, 1, d)
+            ky_h = _split_heads(ky, heads)
+            vy_h = _split_heads(vy, heads)
+            k_p = _split_heads(k[:, 1:], heads)  # (B, h, P, d)
+            v_p = _split_heads(v[:, 1:], heads)
+            d_h = qy_h.shape[-1]
+            scale = 1.0 / math.sqrt(d_h)
+            logits_p = jnp.einsum(
+                'bhmd,bhnd->bhmn', qy_h * scale, k_p,
+                preferred_element_type=jnp.float32,
+            )
+            logit_y = (qy_h * scale * ky_h).sum(
+                -1, keepdims=True
+            ).astype(jnp.float32)
+            logits = jnp.concatenate([logits_p, logit_y], axis=-1) + bias
+            weights = jax.nn.softmax(logits, axis=-1).astype(v_p.dtype)
+            side = (
+                jnp.einsum('bhmn,bhnd->bhmd', weights[..., :-1], v_p)
+                + weights[..., -1:] * vy_h
+            )
+            side = side.transpose(0, 2, 1, 3).reshape(B, 1, D)
         y = y + (side @ attn['out_w'] + attn['out_b'])
 
         y = y + _mlp(_layer_norm(y, block['ln_2']), block['mlp'])
-        x = x + _mlp(_layer_norm(x, block['ln_2']), block['mlp'])
+        if not last:
+            x = x + _mlp(_layer_norm(x, block['ln_2']), block['mlp'])
 
     y = _layer_norm(y[:, 0], params['ln_post'])
     return y @ params['proj']

@@ -105,8 +105,12 @@ def _load_torch_checkpoint(path: str) -> dict[str, np.ndarray] | None:
 
 
 def _l2_normalize(x: jax.Array) -> jax.Array:
+    """fp32 normalize → fp16 output — the reference's
+    ``F.normalize(e).half()`` (``oadp/oake/objects.py:330``), and half
+    the host-fetch bytes over the (possibly tunneled) transport."""
     x = x.astype(jnp.float32)
-    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x.astype(jnp.float16)
 
 
 class OakeSteps:

@@ -32,6 +32,14 @@ class ObjectsPipeline(BaseOakePipeline):
 
     def __init__(self, *args, **kwargs) -> None:
         super().__init__(*args, **kwargs)
+        if self.model.config.image_size != 224:
+            # crop geometry is fixed at the CLIP input resolution, like
+            # the reference's transforms (oadp/oake/objects.py:116-127)
+            raise ValueError(
+                'the objects pipeline requires a 224px CLIP '
+                f'(got image_size={self.model.config.image_size}); '
+                'shrink width/layers/heads instead for smoke runs'
+            )
         self.mini_batch_size = int(self.config.get('mini_batch_size', 512))
         self.expand_mode = str(self.config.get('expand_mode', 'ADAPTIVE'))
         self._buckets = tuple(

@@ -19,10 +19,13 @@ running on TPU; a jnp fallback keeps CPU tests exact.
 __all__ = [
     'fused_mha_qkv',
     'fused_mha_qkv_supported',
+    'fused_side_attention',
+    'fused_side_attention_supported',
     'supports_fused_mha',
 ]
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -34,28 +37,60 @@ def supports_fused_mha() -> bool:
     return jax.default_backend() == 'tpu'
 
 
+#: logits above this are clamped before ``exp``. Real CLIP attention
+#: logits are O(10); the clamp only engages on pathological inputs where
+#: fp32 ``exp`` would overflow, and softmax is EXACT whenever the row
+#: max is below it (see kernel docstring).
+_LOGIT_CLAMP = 80.0
+
+
 def _mha_packed_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, scale: float, heads_per_block: int
+    q_ref, k_ref, v_ref, o_ref, *, scale: float,
+    heads_per_block: int, batch_per_block: int,
 ):
-    """Attention for ``heads_per_block`` heads packed along the last
-    (lane) dimension of a ``(1, N, hpb*hd)`` block."""
+    """Attention for a ``(bb, N, hpb*hd)`` block (``bb`` batch items ×
+    ``hpb`` heads packed along the 128-lane dimension).
+
+    VPU-lean softmax — the kernel is VPU-bound, not MXU-bound, so every
+    elementwise pass over the ``(N, N)`` score matrix counts:
+
+    * the scale folds into ``q`` (exact in bf16 for the power-of-two
+      scales of head_dim 64) — one pass over ``(N, hd)`` instead of
+      ``(N, N)``;
+    * instead of the max-subtraction, logits are clamped at
+      ``_LOGIT_CLAMP``: softmax is bitwise-equivalent whenever the row
+      max is below the clamp (always, for real CLIP activations) and
+      merely saturates instead of overflowing otherwise — one
+      ``min`` pass replaces a reduce + broadcast-subtract;
+    * normalization is DEFERRED past the value matmul:
+      ``softmax(s) @ v == (exp(s) @ v) / rowsum(exp(s))`` — the divide
+      runs over ``(N, hd)`` instead of ``(N, N)``.
+    """
     hd = q_ref.shape[-1] // heads_per_block
-    for h in range(heads_per_block):  # static unroll
-        sl = slice(h * hd, (h + 1) * hd)
-        q = q_ref[0, :, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = (e / e.sum(-1, keepdims=True)).astype(v.dtype)
-        o_ref[0, :, sl] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+    # power-of-two scales are exact in bf16 (pure exponent shift)
+    fold_scale = scale > 0 and math.log2(scale).is_integer()
+    for bi in range(batch_per_block):  # static unroll
+        for h in range(heads_per_block):
+            sl = slice(h * hd, (h + 1) * hd)
+            q = q_ref[bi, :, sl]
+            if fold_scale:
+                q = q * q.dtype.type(scale)
+            k = k_ref[bi, :, sl]
+            v = v_ref[bi, :, sl]
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if not fold_scale:
+                s = s * scale
+            e = jnp.exp(jnp.minimum(s, _LOGIT_CLAMP))
+            o = jnp.dot(
+                e.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            o_ref[bi, :, sl] = (
+                o / e.sum(-1, keepdims=True)
+            ).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -73,7 +108,9 @@ def fused_mha_qkv(
     block = 2 heads of dim 64), so no transpose or reshape ever
     materializes around the kernel — the surrounding matmuls consume
     ``(B, N, D)`` directly. Mosaic requires 128-divisible lane blocks,
-    hence heads are processed in pairs for head_dim 64.
+    hence heads are processed in pairs for head_dim 64. Several batch
+    items run per grid cell (when the batch divides) so Mosaic's
+    load/compute pipeline has fewer, fatter steps.
     """
     b, n, d3 = qkv.shape
     d = d3 // 3
@@ -81,22 +118,24 @@ def fused_mha_qkv(
     hpb = max(128 // hd, 1)  # heads per 128-lane block
     assert heads % hpb == 0 and (hd * hpb) % 128 == 0, (heads, hd)
     block_c = hd * hpb
+    bb = 4 if b % 4 == 0 else 1  # batch items per grid cell
 
     def spec(part):
         return pl.BlockSpec(
-            (1, n, block_c),
+            (bb, n, block_c),
             lambda i, h, part=part: (i, 0, part * (d // block_c) + h),
             memory_space=pltpu.VMEM,
         )
 
     out_spec = pl.BlockSpec(
-        (1, n, block_c), lambda i, h: (i, 0, h), memory_space=pltpu.VMEM
+        (bb, n, block_c), lambda i, h: (i, 0, h), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         functools.partial(
-            _mha_packed_kernel, scale=scale, heads_per_block=hpb
+            _mha_packed_kernel, scale=scale,
+            heads_per_block=hpb, batch_per_block=bb,
         ),
-        grid=(b, heads // hpb),
+        grid=(b // bb, heads // hpb),
         in_specs=[spec(0), spec(1), spec(2)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
@@ -116,3 +155,104 @@ def fused_mha_qkv_supported(heads: int, head_dim: int) -> bool:
         and heads % hpb == 0
         and (head_dim * hpb) % 128 == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Side-stream (masked attention-pool) kernel
+# ---------------------------------------------------------------------------
+
+
+def _side_attn_kernel(
+    k_ref, v_ref, qy_ref, ky_ref, vy_ref, b_ref, o_ref,
+    *, heads: int, batch_per_block: int, scale: float,
+):
+    hd = k_ref.shape[-1] // heads
+    n = k_ref.shape[1]
+    p = n - 1  # patch rows (row 0 of k/v is the main CLS — excluded)
+    for bi in range(batch_per_block):
+        bias_p = b_ref[bi, :p][None, :]
+        bias_y = b_ref[bi, p]
+        for h in range(heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            q = qy_ref[bi, sl][None, :] * qy_ref.dtype.type(scale)
+            kp = k_ref[bi, 1:, sl]
+            vp = v_ref[bi, 1:, sl]
+            s = jax.lax.dot_general(
+                q, kp,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias_p
+            sy = (
+                q.astype(jnp.float32) * ky_ref[bi, sl][None, :].astype(
+                    jnp.float32
+                )
+            ).sum() + bias_y
+            e = jnp.exp(jnp.minimum(s, _LOGIT_CLAMP))
+            ey = jnp.exp(jnp.minimum(sy, _LOGIT_CLAMP))
+            o = jnp.dot(
+                e.astype(vp.dtype), vp, preferred_element_type=jnp.float32
+            )
+            o = o + ey * vy_ref[bi, sl][None, :].astype(jnp.float32)
+            o_ref[bi, sl] = (o[0] / (e.sum() + ey)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('heads', 'interpret'))
+def fused_side_attention(
+    k: jax.Array,  # (B, N, D) keys; row 0 (main CLS) is excluded
+    v: jax.Array,  # (B, N, D)
+    qy: jax.Array,  # (B, D) side-stream query
+    ky: jax.Array,  # (B, D) side token's own key
+    vy: jax.Array,  # (B, D) side token's own value
+    bias: jax.Array,  # (B, N) fp32: [patch biases..., y bias]
+    heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-query masked attention over ``[patches, y]`` → ``(B, D)``.
+
+    The OAKE-objects side stream (``models/clip.image_encoder_surgery``;
+    reference hook construction ``oadp/oake/objects.py:198-266``)
+    attends a single query against the patch keys per block. The jnp
+    formulation materializes two ``(B, heads, P, hd)`` transposes of
+    K/V per layer just to feed einsums — pure HBM traffic. This kernel
+    reads K/V in their native ``(B, N, D)`` layout and keeps the whole
+    per-(batch, head) reduction in VMEM. Same VPU-lean softmax as
+    :func:`fused_mha_qkv` (clamp + deferred normalization).
+    """
+    b, n, d = k.shape
+    hd = d // heads
+    scale = 1.0 / math.sqrt(hd)
+    bb = 8 if b % 8 == 0 else 1
+
+    def kv_spec():
+        return pl.BlockSpec(
+            (bb, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def row_spec(cols):
+        return pl.BlockSpec(
+            (bb, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        functools.partial(
+            _side_attn_kernel, heads=heads, batch_per_block=bb,
+            scale=scale,
+        ),
+        grid=(b // bb,),
+        in_specs=[
+            kv_spec(), kv_spec(), row_spec(d), row_spec(d), row_spec(d),
+            row_spec(n),
+        ],
+        out_specs=row_spec(d),
+        out_shape=jax.ShapeDtypeStruct((b, d), k.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * d,
+            bytes_accessed=2 * b * n * d * k.dtype.itemsize,
+            transcendentals=b * heads * n,
+        ),
+        interpret=interpret,
+    )(k, v, qy, ky, vy, bias)
+
+
+def fused_side_attention_supported(heads: int, head_dim: int) -> bool:
+    return supports_fused_mha() and (heads * head_dim) % 128 == 0

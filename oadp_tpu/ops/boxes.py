@@ -111,19 +111,21 @@ def grid_mask(
     """
     foregrounds = np.asarray(foregrounds, np.float64)
     crops = np.asarray(crops, np.float64)
-    n = len(crops)
-    out = np.empty((n, grid, grid), np.float32)
     idx = np.arange(grid)
-    for i in range(n):
-        cw = math_ceil_arange_len(crops[i, 2] - crops[i, 0])
-        ch = math_ceil_arange_len(crops[i, 3] - crops[i, 1])
-        # torch nearest interpolate: src = floor(dst * in / out)
-        xs = np.floor(idx * cw / grid)
-        ys = np.floor(idx * ch / grid)
-        fx = (foregrounds[i, 0] <= xs) & (xs <= foregrounds[i, 2])
-        fy = (foregrounds[i, 1] <= ys) & (ys <= foregrounds[i, 3])
-        out[i] = (~(fy[:, None] & fx[None, :])).astype(np.float32)
-    return out
+    # vectorized over proposals (1024/image on the OAKE hot path)
+    cw = _ceil_arange_len_vec(crops[:, 2] - crops[:, 0])  # (N,)
+    ch = _ceil_arange_len_vec(crops[:, 3] - crops[:, 1])
+    # torch nearest interpolate: src = floor(dst * in / out)
+    xs = np.floor(idx[None, :] * cw[:, None] / grid)  # (N, grid)
+    ys = np.floor(idx[None, :] * ch[:, None] / grid)
+    fx = (foregrounds[:, 0:1] <= xs) & (xs <= foregrounds[:, 2:3])
+    fy = (foregrounds[:, 1:2] <= ys) & (ys <= foregrounds[:, 3:4])
+    return (~(fy[:, :, None] & fx[:, None, :])).astype(np.float32)
+
+
+def _ceil_arange_len_vec(length: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`math_ceil_arange_len`."""
+    return np.where(length > 0, np.ceil(length - 1e-9), 0.0)
 
 
 def math_ceil_arange_len(length: float) -> int:

@@ -59,3 +59,43 @@ def test_fused_mha_qkv_head_independence():
     )
     np.testing.assert_allclose(out2[..., :hd], base[..., :hd], atol=1e-6)
     assert np.abs(out2[..., hd:] - base[..., hd:]).max() > 1e-3
+
+
+def test_fused_side_attention_matches_reference():
+    """The side-stream kernel == masked softmax over [patches, y]
+    (the jnp formulation in models/clip.image_encoder_surgery)."""
+    from oadp_tpu.ops.attention import fused_side_attention
+
+    rng = np.random.default_rng(2)
+    b, n, heads, hd = 4, 17, 2, 64  # n = 1 CLS + 15 patches (+y in bias)
+    d = heads * hd
+    k = rng.standard_normal((b, n, d)).astype(np.float32)
+    v = rng.standard_normal((b, n, d)).astype(np.float32)
+    qy = rng.standard_normal((b, d)).astype(np.float32)
+    ky = rng.standard_normal((b, d)).astype(np.float32)
+    vy = rng.standard_normal((b, d)).astype(np.float32)
+    # patch biases (n-1 of them) + y's zero bias
+    bias = np.concatenate([
+        (rng.random((b, n - 1)) > 0.5).astype(np.float32) * -100.0,
+        np.zeros((b, 1), np.float32),
+    ], -1)
+
+    got = np.asarray(fused_side_attention(
+        jnp.asarray(k), jnp.asarray(v), jnp.asarray(qy),
+        jnp.asarray(ky), jnp.asarray(vy), jnp.asarray(bias), heads,
+        interpret=True,
+    ))
+
+    scale = 1.0 / math.sqrt(hd)
+    want = np.empty((b, d), np.float32)
+    for bi in range(b):
+        for h in range(heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            q = qy[bi, sl] * scale
+            keys = np.concatenate([k[bi, 1:, sl], ky[bi, sl][None]])
+            vals = np.concatenate([v[bi, 1:, sl], vy[bi, sl][None]])
+            s = keys @ q + bias[bi]
+            e = np.exp(s - s.max())
+            w = e / e.sum()
+            want[bi, sl] = w @ vals
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -1,0 +1,116 @@
+"""MEASURE the reference OAKE-objects host-preprocessing ceiling.
+
+The reference (LutingWang/OADP) publishes no throughput numbers, so the
+honest baseline for `bench.py`'s ``vs_baseline`` is a *measured* upper
+bound on what the reference can possibly sustain per GPU on this class
+of host. Its per-proposal pipeline runs on the dataloader CPU workers
+(``oadp/oake/objects.py:116-167``): PIL ``crop`` of the ADAPTIVE-expanded
+box → CLIP preprocess (``Resize(224, BICUBIC)`` → ``CenterCrop(224)`` →
+``ToTensor`` → ``Normalize``) → full-resolution background mask +
+``F.interpolate`` to the 14-grid. With ``num_workers=2``
+(``configs/oake/base.py:7``) the GPU cannot consume faster than the two
+workers produce, so::
+
+    ceiling_img/s/GPU = workers / (ms_per_crop * crops_per_image)
+
+regardless of GPU speed. This script measures ``ms_per_crop`` with the
+exact torch/PIL ops and prints the ceiling as one JSON line.
+
+Usage: python tools/measure_reference_hostprep.py [--crops 512]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, '')
+
+
+def measure_ms_per_crop(n_crops: int = 512, pad: int = 640) -> float:
+    import PIL.Image
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    image = PIL.Image.fromarray(
+        rng.integers(0, 256, (pad, pad, 3), np.uint8)
+    )
+    mean = (0.48145466, 0.4578275, 0.40821073)
+    std = (0.26862954, 0.26130258, 0.27577711)
+    try:
+        from torchvision import transforms as T
+        tf = T.Compose([
+            T.Resize(224, interpolation=T.InterpolationMode.BICUBIC),
+            T.CenterCrop(224),
+            T.ToTensor(),
+            T.Normalize(mean, std),
+        ])
+    except ImportError:
+        # torchvision is absent in this image; replicate its ops with
+        # PIL + torch (same kernels torchvision calls for PIL inputs)
+        def tf(img):
+            w, h = img.size
+            if w <= h:
+                ow, oh = 224, int(224 * h / w)
+            else:
+                ow, oh = int(224 * w / h), 224
+            img = img.resize((ow, oh), PIL.Image.BICUBIC)
+            left = int(round((ow - 224) / 2.0))
+            top = int(round((oh - 224) / 2.0))
+            img = img.crop((left, top, left + 224, top + 224))
+            t = torch.from_numpy(
+                np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+            )
+            m = torch.tensor(mean)[:, None, None]
+            s = torch.tensor(std)[:, None, None]
+            return (t - m) / s
+
+    # ADAPTIVE-expanded square crops with a realistic size spread
+    sides = rng.uniform(32, 600, n_crops)
+    x0 = rng.uniform(0, pad - 32, n_crops)
+    y0 = rng.uniform(0, pad - 32, n_crops)
+
+    # warmup
+    for i in range(8):
+        tf(image.crop((x0[i], y0[i], x0[i] + sides[i], y0[i] + sides[i])))
+
+    t0 = time.perf_counter()
+    for i in range(n_crops):
+        box = (x0[i], y0[i], x0[i] + sides[i], y0[i] + sides[i])
+        obj = image.crop(box)
+        tf(obj)
+        # background mask at crop resolution + nearest downsample
+        # (reference objects.py:129-155)
+        cw = int(np.ceil(box[2] - box[0]))
+        ch = int(np.ceil(box[3] - box[1]))
+        xm = (torch.arange(cw) < (cw * 0.7))[None, :]
+        ym = (torch.arange(ch) < (ch * 0.7))[:, None]
+        m = (~(xm & ym))[None, None].float()
+        F.interpolate(m, size=(14, 14), mode='nearest')
+    dt = time.perf_counter() - t0
+    return dt / n_crops * 1000.0
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--crops', type=int, default=512)
+    parser.add_argument('--crops-per-image', type=int, default=1024)
+    parser.add_argument('--workers', type=int, default=2,
+                        help='reference num_workers (configs/oake/base.py)')
+    args = parser.parse_args()
+    ms = measure_ms_per_crop(args.crops)
+    ceiling = args.workers / (ms / 1000.0 * args.crops_per_image)
+    print(json.dumps({
+        'metric': 'reference_hostprep_ceiling_img_per_sec_per_gpu',
+        'ms_per_crop': round(ms, 3),
+        'workers': args.workers,
+        'crops_per_image': args.crops_per_image,
+        'value': round(ceiling, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()
