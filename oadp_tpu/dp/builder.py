@@ -65,6 +65,55 @@ class DetectorBundle:
     params: Any
     stats: Any
 
+    def _graft_heads(self, state: dict, path: str) -> None:
+        """Graft a TRAINED reference checkpoint's RoI/global heads
+        (reference naming: ``roi_head.bbox_head``,
+        ``roi_head._object_head``, ``roi_head._block_head``,
+        ``_global_head._classifier`` — ``oadp/dp/roi_heads.py:49``,
+        ``oadp/dp/detectors.py:159``), so reference-trained models can
+        be evaluated directly by ``dp/test.py``."""
+        from ..models.heads import convert_torch_convfc_head
+
+        heads = [
+            ('bbox_head', 'roi_head.bbox_head.', self.config.bbox_head),
+            (
+                'object_head', 'roi_head._object_head.',
+                self.config.object_head,
+            ),
+            (
+                'block_head', 'roi_head._block_head.',
+                self.config.block_head,
+            ),
+        ]
+        for name, prefix, cfg in heads:
+            if name not in self.params:
+                continue
+            if not any(k.startswith(prefix) for k in state):
+                continue
+            p, s = convert_torch_convfc_head(
+                state, prefix, cfg, self.params[name]
+            )
+            self.params[name] = p
+            if name in self.stats:
+                self.stats[name] = s
+            logger.info('grafted %s from %s', name, path)
+        gp = '_global_head._classifier.'
+        if 'global_head' in self.params and any(
+            k.startswith(gp) for k in state
+        ):
+            cls = self.params['global_head']['cls']
+            cls['linear'] = {
+                'w': np.asarray(
+                    state[gp + '_linear.weight'], np.float32
+                ).T.copy(),
+                'b': np.asarray(state[gp + '_linear.bias'], np.float32),
+            }
+            if gp + '_bg_embedding' in state:
+                cls['bg'] = np.asarray(
+                    state[gp + '_bg_embedding'], np.float32
+                )
+            logger.info('grafted global_head from %s', path)
+
     def load_pretrained(self, path: str) -> None:
         """Graft a torch checkpoint (SoCo / mmdet-style ``state_dict``
         with ``backbone.*`` / ``neck.*``; or a bare torchvision ResNet)
@@ -104,6 +153,8 @@ class DetectorBundle:
                     logger.info('grafted mask head from %s', path)
                 except KeyError as e:
                     logger.warning('mask head graft failed: %s', e)
+            if any(k.startswith('roi_head.bbox_head.') for k in state):
+                self._graft_heads(state, path)
             logger.info('loaded pretrained backbone(+neck) from %s', path)
         elif 'conv1.weight' in state:
             bp, bs = RN.convert_torch_resnet(state)

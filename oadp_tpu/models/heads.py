@@ -252,3 +252,87 @@ def global_head_forward(
     ``oadp/dp/detectors.py:36-38``)."""
     pooled = feats[-1].mean(axis=(1, 2))  # (B, C)
     return classifier_forward(params['cls'], pooled, config, train)
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint interop
+# ---------------------------------------------------------------------------
+
+
+def convert_torch_convfc_head(
+    state: dict,
+    prefix: str,
+    config: HeadConfig,
+    init_params: Params,
+) -> tuple[Params, Params]:
+    """mmdet ``ConvFCBBoxHead`` (+ OADP ``Classifier``) state dict →
+    ``(params, stats)``.
+
+    Key layout (reference ``oadp/dp/bbox_heads.py`` over mmdet
+    ``Shared{4Conv1FC,2FC}BBoxHead``): ``shared_convs.{i}.conv/bn``,
+    ``shared_fcs.{i}``, ``fc_cls._linear`` (NormalizedLinear),
+    ``fc_cls._bg_embedding``, ``fc_reg``. The CLIP text ``_embeddings``
+    buffer is non-persistent in the reference (rebuilt from prompts), so
+    the embeddings from ``init_params`` are kept.
+
+    Torch flattens RoI features as (C, H, W); this stack flattens
+    (H, W, C) — the first fc's input columns are permuted accordingly.
+    """
+    import numpy as np
+
+    def a(name):
+        return np.asarray(state[prefix + name], np.float32)
+
+    params: Params = {'convs': [], 'fcs': []}
+    stats: Params = {'convs': []}
+    c = config.in_channels
+    for i in range(config.num_convs):
+        params['convs'].append({
+            'conv': {
+                'w': a(f'shared_convs.{i}.conv.weight').transpose(
+                    2, 3, 1, 0
+                ),
+            },
+            'bn': {
+                'scale': a(f'shared_convs.{i}.bn.weight'),
+                'bias': a(f'shared_convs.{i}.bn.bias'),
+            },
+        })
+        stats['convs'].append({'bn': {
+            'mean': a(f'shared_convs.{i}.bn.running_mean'),
+            'var': a(f'shared_convs.{i}.bn.running_var'),
+        }})
+        c = config.conv_channels
+    for i in range(config.num_fcs):
+        w = a(f'shared_fcs.{i}.weight')  # (out, in)
+        if i == 0:
+            # torch flattened (C, roi, roi); ours flattens (roi, roi, C)
+            w = w.reshape(-1, c, config.roi_size, config.roi_size)
+            w = w.transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+        params['fcs'].append({
+            'w': w.T.copy(),
+            'b': a(f'shared_fcs.{i}.bias'),
+        })
+    cls: Params = {
+        'linear': {
+            'w': a('fc_cls._linear.weight').T.copy(),
+            'b': a('fc_cls._linear.bias'),
+        },
+        # non-persistent buffer in the reference; rebuilt from prompts
+        'embeddings': np.asarray(
+            init_params['cls']['embeddings'], np.float32
+        ),
+    }
+    if prefix + 'fc_cls._bg_embedding' in state:
+        cls['bg'] = a('fc_cls._bg_embedding')
+    elif 'bg' in init_params['cls']:
+        cls['bg'] = np.asarray(init_params['cls']['bg'], np.float32)
+    params['cls'] = cls
+    if config.with_reg and prefix + 'fc_reg.weight' in state:
+        params['reg'] = {
+            'w': a('fc_reg.weight').T.copy(),
+            'b': a('fc_reg.bias'),
+        }
+    elif 'reg' in init_params:
+        params['reg'] = init_params['reg']
+    return params, stats

@@ -70,3 +70,51 @@ def test_lr_mult_rules():
     )
     np.testing.assert_allclose(np.asarray(p2['bbox_head']['w']), 0.5)
     np.testing.assert_allclose(np.asarray(p2['rpn']['w']), 0.0)
+
+
+def test_eval_hook_by_epoch(tmp_path):
+    """Under EpochBasedRunner the evaluation interval counts EPOCHS
+    (configs/dp/schedules/2x.py: interval=4 => every 4 epochs), not
+    iterations — a 4-iteration epoch with interval=2 must evaluate
+    after epochs 2 and 4 only."""
+    from tests.test_multichip import _mini_setup
+
+    from oadp_tpu.dp.builder import DetectorBundle
+    from oadp_tpu.dp.trainer import Trainer
+    from oadp_tpu.utils import Config
+
+    config, params, stats, anchors, batch = _mini_setup()
+    half = {k: v[:4] for k, v in batch.items()}
+
+    class _Loader:
+        def __len__(self):
+            return 2  # iters per epoch
+
+        def epoch(self, epoch):
+            for _ in range(2):
+                yield dict(half)
+
+    calls = []
+
+    class _Evaluator:
+        def run(self, params, stats):
+            calls.append(1)
+            return {}
+
+    trainer_cfg = Config({
+        'optimizer': {'lr': 0.001},
+        'lr_config': {'by_epoch': True, 'step': [100]},
+        'runner': {'type': 'EpochBasedRunner', 'max_epochs': 4},
+        'log_config': {'interval': 1000},
+        'checkpoint_config': {'by_epoch': True, 'interval': 1000},
+        'evaluation': {'interval': 2},
+        'n_devices': 1,
+    })
+    trainer = Trainer(
+        DetectorBundle(config, params, stats), trainer_cfg,
+        _Loader(), tmp_path, evaluator=_Evaluator(),
+    )
+    assert trainer.eval_by_epoch  # inherits from the runner type
+    trainer.fit()
+    # epochs 2 and 4 -> exactly two evaluation runs (NOT one per 2 iters)
+    assert len(calls) == 2, calls
