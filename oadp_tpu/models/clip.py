@@ -301,6 +301,30 @@ def _block(
     return x
 
 
+def _block_fused(x: jax.Array, p: Params, heads: int) -> jax.Array:
+    """Transformer block with the LN1+QKV+attention Pallas kernel
+    (TPU): the qkv tensor and the LN output never round-trip HBM."""
+    from ..ops.attention import fused_ln_qkv_attention
+
+    attn = p['attn']
+    scale = 1.0 / math.sqrt(x.shape[-1] // heads)
+    a = fused_ln_qkv_attention(
+        x, p['ln_1']['scale'], p['ln_1']['bias'],
+        attn['qkv_w'], attn['qkv_b'], heads, scale,
+    )
+    x = x + (a @ attn['out_w'] + attn['out_b'])
+    x = x + _mlp(_layer_norm(x, p['ln_2']), p['mlp'])
+    return x
+
+
+def _use_fused_block(config: ViTConfig) -> bool:
+    from ..ops.attention import fused_ln_qkv_attention_supported
+
+    return fused_ln_qkv_attention_supported(
+        config.heads, config.width // config.heads
+    )
+
+
 def _embed_patches(
     images: jax.Array,
     params: Params,
@@ -350,8 +374,12 @@ def image_encoder(
     """
     x = _embed_patches(images, params, config)
     x = _layer_norm(x, params['ln_pre'])
+    fused = _use_fused_block(config)
     for block in params['blocks']:
-        x = _block(x, block, config.heads)
+        x = (
+            _block_fused(x, block, config.heads)
+            if fused else _block(x, block, config.heads)
+        )
     x = _layer_norm(x[:, 0], params['ln_post'])
     return x @ params['proj']
 
@@ -393,6 +421,8 @@ def image_encoder_surgery(
     from ..ops.attention import (
         fused_side_attention,
         fused_side_attention_supported,
+        fused_surgery_layer,
+        fused_surgery_layer_supported,
     )
 
     bias_flat = jnp.concatenate(
@@ -404,6 +434,7 @@ def image_encoder_surgery(
     )  # (B, P+1): patch biases then the side token's own (zero)
     bias = bias_flat[:, None, None, :]
     use_side_kernel = fused_side_attention_supported(heads, D // heads)
+    use_fused_surgery = fused_surgery_layer_supported(heads, D // heads)
 
     y = x[:, :1]
     n_blocks = len(params['blocks'])
@@ -415,15 +446,34 @@ def image_encoder_surgery(
         # tokens are IDENTICAL to the main stream's (same weights, same
         # input — reference ``oadp/oake/objects.py:238-245`` recomputes
         # them through hooks; here they are computed once).
-        ln_x = _layer_norm(x, block['ln_1'])
+        if use_fused_surgery:
+            # One Pallas kernel per layer: LN + QKV + main attention +
+            # masked side attention; K/V never leave VMEM.
+            args = (
+                x, y[:, 0], bias_flat,
+                block['ln_1']['scale'], block['ln_1']['bias'],
+                qkv_w, qkv_b, heads, 1.0 / math.sqrt(D // heads),
+            )
+            if last:
+                side = fused_surgery_layer(*args, with_main=False)
+            else:
+                main, side = fused_surgery_layer(*args, with_main=True)
+                x = x + (main @ attn['out_w'] + attn['out_b'])
+            y = y + (side[:, None] @ attn['out_w'] + attn['out_b'])
+            y = y + _mlp(_layer_norm(y, block['ln_2']), block['mlp'])
+            if not last:
+                x = x + _mlp(_layer_norm(x, block['ln_2']), block['mlp'])
+            continue
         if last:
             # the final x is discarded — only this block's K/V feed the
             # side stream, so the main attention, its out-projection,
             # the x MLP AND the q third of the qkv matmul are skipped
             # (~7% of the encoder FLOPs; y is bit-identical)
+            ln_x = _layer_norm(x, block['ln_1'])
             kv = ln_x @ qkv_w[:, D:] + qkv_b[D:]
             k, v = jnp.split(kv, 2, axis=-1)
         else:
+            ln_x = _layer_norm(x, block['ln_1'])
             qkv = ln_x @ qkv_w + qkv_b  # (B, N, 3D)
             _, k, v = jnp.split(qkv, 3, axis=-1)
 

@@ -17,10 +17,14 @@ running on TPU; a jnp fallback keeps CPU tests exact.
 """
 
 __all__ = [
+    'fused_ln_qkv_attention',
+    'fused_ln_qkv_attention_supported',
     'fused_mha_qkv',
     'fused_mha_qkv_supported',
     'fused_side_attention',
     'fused_side_attention_supported',
+    'fused_surgery_layer',
+    'fused_surgery_layer_supported',
     'supports_fused_mha',
 ]
 
@@ -155,6 +159,341 @@ def fused_mha_qkv_supported(heads: int, head_dim: int) -> bool:
         and heads % hpb == 0
         and (head_dim * hpb) % 128 == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused LayerNorm + QKV projection + attention kernel
+# ---------------------------------------------------------------------------
+
+
+def _ln_qkv_attn_kernel(
+    x_ref, s_ref, t_ref, w_ref, b_ref, o_ref, *rest,
+    heads: int, scale: float, batch_per_block: int, want_kv: bool,
+):
+    d = x_ref.shape[-1]
+    hd = d // heads
+    if want_kv:
+        k_ref, v_ref = rest
+    for bi in range(batch_per_block):
+        # LayerNorm in fp32 (CLIP semantics, models/clip._layer_norm)
+        xx = x_ref[bi].astype(jnp.float32)
+        mean = xx.mean(-1, keepdims=True)
+        var = jnp.square(xx - mean).mean(-1, keepdims=True)
+        h = (xx - mean) * jax.lax.rsqrt(var + 1e-5)
+        h = h * s_ref[...] + t_ref[...]
+        # QKV projection on the MXU, weights VMEM-resident across the
+        # whole grid (constant index map); the (N, 3D) qkv never leaves
+        # VMEM — this is the kernel's reason to exist.
+        qkv = jax.lax.dot(
+            h.astype(x_ref.dtype), w_ref[...],
+            preferred_element_type=jnp.float32,
+        ) + b_ref[...].astype(jnp.float32)
+        qkv = qkv.astype(x_ref.dtype)
+        if want_kv:
+            k_ref[bi] = qkv[:, d:2 * d]
+            v_ref[bi] = qkv[:, 2 * d:]
+        fold_scale = scale > 0 and math.log2(scale).is_integer()
+        for hh in range(heads):
+            q = qkv[:, hh * hd:(hh + 1) * hd]
+            if fold_scale:
+                q = q * q.dtype.type(scale)
+            k = qkv[:, d + hh * hd:d + (hh + 1) * hd]
+            v = qkv[:, 2 * d + hh * hd:2 * d + (hh + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if not fold_scale:
+                s = s * scale
+            e = jnp.exp(jnp.minimum(s, _LOGIT_CLAMP))
+            o = jnp.dot(
+                e.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            o_ref[bi, :, hh * hd:(hh + 1) * hd] = (
+                o / e.sum(-1, keepdims=True)
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('heads', 'scale', 'want_kv', 'interpret')
+)
+def fused_ln_qkv_attention(
+    x: jax.Array,  # (B, N, D) residual-stream input (pre-LN)
+    ln_scale: jax.Array,  # (D,)
+    ln_bias: jax.Array,  # (D,)
+    qkv_w: jax.Array,  # (D, 3D)
+    qkv_b: jax.Array,  # (3D,)
+    heads: int,
+    scale: float,
+    want_kv: bool = False,
+    interpret: bool = False,
+):
+    """LayerNorm → QKV projection → softmax attention in ONE kernel.
+
+    The split formulation (XLA ln + XLA GEMM + attention kernel)
+    round-trips the ``(B, N, 3D)`` qkv tensor and the LN output through
+    HBM — ~1.9 GB per layer at the OAKE batch (1024×197×768 bf16), which
+    dominates the attention step. Here qkv lives and dies in VMEM; HBM
+    traffic per layer drops to ``x`` in + attention out (and optionally
+    K/V out for the surgery side stream). Measured on v5e: ~12% off the
+    full encoder despite Mosaic's GEMM running at ~half of XLA's rate.
+
+    Returns ``attn_out (B, N, D)``; with ``want_kv`` also the K and V
+    projections (for :func:`fused_side_attention` in the surgery
+    encoder, reference ``oadp/oake/objects.py:224-247``).
+    """
+    b, n, d = x.shape
+    bb = 2 if b % 2 == 0 else 1
+    row = lambda cols: pl.BlockSpec(  # noqa: E731
+        (1, cols), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    blk = lambda cols: pl.BlockSpec(  # noqa: E731
+        (bb, n, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shapes = [jax.ShapeDtypeStruct((b, n, d), x.dtype)]
+    out_specs = [blk(d)]
+    if want_kv:
+        out_shapes += [jax.ShapeDtypeStruct((b, n, d), x.dtype)] * 2
+        out_specs += [blk(d), blk(d)]
+    out = pl.pallas_call(
+        functools.partial(
+            _ln_qkv_attn_kernel, heads=heads, scale=scale,
+            batch_per_block=bb, want_kv=want_kv,
+        ),
+        grid=(b // bb,),
+        in_specs=[
+            blk(d),
+            row(d), row(d),
+            pl.BlockSpec(
+                (d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            row(3 * d),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d * 3 * d + 2 * b * heads * n * n * (d // heads) * 2,
+            bytes_accessed=(2 + (2 if want_kv else 0)) * b * n * d
+            * x.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.astype(jnp.float32).reshape(1, d),
+        ln_bias.astype(jnp.float32).reshape(1, d),
+        qkv_w,
+        qkv_b.reshape(1, 3 * d),
+    )
+    if want_kv:
+        return tuple(out)
+    return out[0]
+
+
+def fused_ln_qkv_attention_supported(heads: int, head_dim: int) -> bool:
+    return supports_fused_mha() and (heads * head_dim) % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused surgery layer: LN + QKV + main attention + side attention
+# ---------------------------------------------------------------------------
+
+
+def _surgery_layer_kernel(
+    x_ref, y_ref, bias_ref, s_ref, t_ref, w_ref, b_ref, *out_refs,
+    heads: int, scale: float, batch_per_block: int, with_main: bool,
+):
+    d = x_ref.shape[-1]
+    hd = d // heads
+    n = x_ref.shape[1]
+    fold_scale = scale > 0 and math.log2(scale).is_integer()
+    if with_main:
+        mo_ref, so_ref = out_refs
+    else:
+        (so_ref,) = out_refs
+
+    def ln(rows):  # fp32 LayerNorm, matches models/clip._layer_norm
+        rows = rows.astype(jnp.float32)
+        mean = rows.mean(-1, keepdims=True)
+        var = jnp.square(rows - mean).mean(-1, keepdims=True)
+        out = (rows - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (out * s_ref[...] + t_ref[...]).astype(x_ref.dtype)
+
+    for bi in range(batch_per_block):
+        h = ln(x_ref[bi])
+        if with_main:
+            qkv = jax.lax.dot(
+                h, w_ref[...], preferred_element_type=jnp.float32,
+            ) + b_ref[...].astype(jnp.float32)
+            qkv = qkv.astype(x_ref.dtype)
+            k = qkv[:, d:2 * d]
+            v = qkv[:, 2 * d:]
+        else:
+            # last block: the main stream is discarded — only K/V feed
+            # the side stream (the q two-thirds of the GEMM is skipped)
+            kv = jax.lax.dot(
+                h, w_ref[:, d:], preferred_element_type=jnp.float32,
+            ) + b_ref[...][:, d:].astype(jnp.float32)
+            kv = kv.astype(x_ref.dtype)
+            k = kv[:, :d]
+            v = kv[:, d:]
+
+        # side query from ln(y) through the SAME projection
+        qkv_y = jax.lax.dot(
+            ln(y_ref[bi]), w_ref[...],
+            preferred_element_type=jnp.float32,
+        ) + b_ref[...].astype(jnp.float32)
+        qkv_y = qkv_y.astype(x_ref.dtype)
+
+        if with_main:
+            for hh in range(heads):
+                sl = slice(hh * hd, (hh + 1) * hd)
+                q = qkv[:, sl]
+                if fold_scale:
+                    q = q * q.dtype.type(scale)
+                s = jax.lax.dot_general(
+                    q, k[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if not fold_scale:
+                    s = s * scale
+                e = jnp.exp(jnp.minimum(s, _LOGIT_CLAMP))
+                o = jnp.dot(
+                    e.astype(v.dtype), v[:, sl],
+                    preferred_element_type=jnp.float32,
+                )
+                mo_ref[bi, :, sl] = (
+                    o / e.sum(-1, keepdims=True)
+                ).astype(mo_ref.dtype)
+
+        # side attention: one query over [patches (k rows 1:), y itself]
+        bias_p = bias_ref[bi][:, :n - 1]
+        bias_y = bias_ref[bi][:, n - 1:n]
+        for hh in range(heads):
+            sl = slice(hh * hd, (hh + 1) * hd)
+            qy = qkv_y[:, sl] * qkv_y.dtype.type(scale)
+            ky = qkv_y[:, d + hh * hd:d + (hh + 1) * hd]
+            vy = qkv_y[:, 2 * d + hh * hd:2 * d + (hh + 1) * hd]
+            kp = k[1:, sl]
+            vp = v[1:, sl]
+            s = jax.lax.dot_general(
+                qy, kp,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias_p
+            sy = (
+                qy.astype(jnp.float32) * ky.astype(jnp.float32)
+            ).sum(-1, keepdims=True) + bias_y
+            e = jnp.exp(jnp.minimum(s, _LOGIT_CLAMP))
+            ey = jnp.exp(jnp.minimum(sy, _LOGIT_CLAMP))
+            o = jnp.dot(
+                e.astype(vp.dtype), vp, preferred_element_type=jnp.float32
+            )
+            o = o + ey * vy.astype(jnp.float32)
+            so_ref[bi, :, sl] = (
+                o / (e.sum(-1, keepdims=True) + ey)
+            ).astype(so_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        'heads', 'scale', 'with_main', 'interpret', 'block_batch'
+    ),
+)
+def fused_surgery_layer(
+    x: jax.Array,  # (B, N, D) main stream (pre-LN)
+    y: jax.Array,  # (B, D) side stream (pre-LN)
+    bias: jax.Array,  # (B, N) fp32: [patch biases..., y bias]
+    ln_scale: jax.Array,  # (D,)
+    ln_bias: jax.Array,  # (D,)
+    qkv_w: jax.Array,  # (D, 3D)
+    qkv_b: jax.Array,  # (3D,)
+    heads: int,
+    scale: float,
+    with_main: bool = True,
+    interpret: bool = False,
+    block_batch: int | None = None,
+):
+    """One OAKE-surgery transformer layer's attention in ONE kernel.
+
+    Fuses LayerNorm, the QKV projection, the main stream's unmasked
+    self-attention AND the side stream's masked attention-pool
+    (reference hook construction ``oadp/oake/objects.py:198-266``).
+    K/V — identical between the two streams — are computed once and
+    never leave VMEM; vs the split form this removes the per-layer
+    HBM round trips of qkv (~930 MB at the OAKE batch), the LN output,
+    and the K/V write+read between the main and side kernels.
+
+    Returns ``(main_attn_out (B, N, D), side_out (B, D))`` — or just
+    ``side_out`` when ``with_main=False`` (the final block, whose main
+    stream is discarded; reference ``oadp/oake/objects.py:249-258``).
+    """
+    b, n, d = x.shape
+    bb = block_batch or (2 if b % 2 == 0 else 1)
+    assert b % bb == 0, (b, bb)
+    row = lambda cols: pl.BlockSpec(  # noqa: E731
+        (1, cols), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    blk = lambda cols: pl.BlockSpec(  # noqa: E731
+        (bb, n, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    # (B, 1, cols) blocks: TPU block shapes need the trailing two dims
+    # to divide (8, 128) or equal the array dims — a unit middle dim
+    # satisfies that for per-item row data at any bb.
+    brow = lambda cols: pl.BlockSpec(  # noqa: E731
+        (bb, 1, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shapes = []
+    out_specs = []
+    if with_main:
+        out_shapes.append(jax.ShapeDtypeStruct((b, n, d), x.dtype))
+        out_specs.append(blk(d))
+    out_shapes.append(jax.ShapeDtypeStruct((b, 1, d), x.dtype))
+    out_specs.append(brow(d))
+    out = pl.pallas_call(
+        functools.partial(
+            _surgery_layer_kernel, heads=heads, scale=scale,
+            batch_per_block=bb, with_main=with_main,
+        ),
+        grid=(b // bb,),
+        in_specs=[
+            blk(d),
+            brow(d),
+            brow(n),
+            row(d), row(d),
+            pl.BlockSpec(
+                (d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            row(3 * d),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d * 3 * d
+            + 2 * b * heads * n * n * (d // heads) * 2,
+            bytes_accessed=2 * b * n * d * x.dtype.itemsize,
+            transcendentals=b * heads * n * (n + 1),
+        ),
+        interpret=interpret,
+    )(
+        x,
+        y.reshape(b, 1, d),
+        bias.reshape(b, 1, n),
+        ln_scale.astype(jnp.float32).reshape(1, d),
+        ln_bias.astype(jnp.float32).reshape(1, d),
+        qkv_w,
+        qkv_b.reshape(1, 3 * d),
+    )
+    if with_main:
+        return out[0], out[1][:, 0]
+    return out[0][:, 0]
+
+
+def fused_surgery_layer_supported(heads: int, head_dim: int) -> bool:
+    return supports_fused_mha() and (heads * head_dim) % 128 == 0
 
 
 # ---------------------------------------------------------------------------

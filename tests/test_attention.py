@@ -99,3 +99,151 @@ def test_fused_side_attention_matches_reference():
             w = e / e.sum()
             want[bi, sl] = w @ vals
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def _ln_qkv_attn_oracle(x, s, t, w, b, heads, scale):
+    """Independent float64 numpy oracle: LN -> QKV GEMM -> per-head
+    softmax attention (plus the K/V projections)."""
+    x64 = x.astype(np.float64)
+    mean = x64.mean(-1, keepdims=True)
+    var = ((x64 - mean) ** 2).mean(-1, keepdims=True)
+    h = (x64 - mean) / np.sqrt(var + 1e-5)
+    h = h * s.astype(np.float64) + t.astype(np.float64)
+    qkv = h @ w.astype(np.float64) + b.astype(np.float64)
+    d = x.shape[-1]
+    hd = d // heads
+    q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+    out = np.empty_like(q)
+    for bi in range(x.shape[0]):
+        for hh in range(heads):
+            sl = slice(hh * hd, (hh + 1) * hd)
+            sc = (q[bi, :, sl] * scale) @ k[bi, :, sl].T
+            e = np.exp(sc - sc.max(-1, keepdims=True))
+            p = e / e.sum(-1, keepdims=True)
+            out[bi, :, sl] = p @ v[bi, :, sl]
+    return out, k, v
+
+
+def test_fused_ln_qkv_attention_matches_oracle():
+    """The fused LN+QKV+attention kernel vs a float64 numpy oracle.
+
+    Tolerance is bounded by XLA-CPU's fp32 matmul (~4e-3 abs vs exact
+    fp32 on these magnitudes), which both this kernel (interpret mode)
+    and the jnp path inherit equally.
+    """
+    from oadp_tpu.ops.attention import fused_ln_qkv_attention
+
+    rng = np.random.default_rng(3)
+    b, n, heads, hd = 4, 13, 2, 64
+    d = heads * hd
+    x = rng.standard_normal((b, n, d)).astype(np.float32)
+    s = rng.standard_normal(d).astype(np.float32)
+    t = rng.standard_normal(d).astype(np.float32)
+    w = (rng.standard_normal((d, 3 * d)) * 0.05).astype(np.float32)
+    bias = (rng.standard_normal(3 * d) * 0.05).astype(np.float32)
+    scale = 1.0 / math.sqrt(hd)
+
+    got, kg, vg = fused_ln_qkv_attention(
+        jnp.asarray(x), jnp.asarray(s), jnp.asarray(t),
+        jnp.asarray(w), jnp.asarray(bias), heads, scale,
+        want_kv=True, interpret=True,
+    )
+    want, kw, vw = _ln_qkv_attn_oracle(x, s, t, w, bias, heads, scale)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(kg), kw, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(vg), vw, atol=5e-3)
+
+    # want_kv=False returns the same attention output
+    only = fused_ln_qkv_attention(
+        jnp.asarray(x), jnp.asarray(s), jnp.asarray(t),
+        jnp.asarray(w), jnp.asarray(bias), heads, scale, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(only), np.asarray(got), atol=0)
+
+
+def test_fused_ln_qkv_attention_odd_batch():
+    """Batch not divisible by 2 exercises the bb=1 grid path."""
+    from oadp_tpu.ops.attention import fused_ln_qkv_attention
+
+    rng = np.random.default_rng(4)
+    b, n, heads, hd = 3, 9, 2, 64
+    d = heads * hd
+    x = rng.standard_normal((b, n, d)).astype(np.float32)
+    s = rng.standard_normal(d).astype(np.float32)
+    t = rng.standard_normal(d).astype(np.float32)
+    w = (rng.standard_normal((d, 3 * d)) * 0.05).astype(np.float32)
+    bias = (rng.standard_normal(3 * d) * 0.05).astype(np.float32)
+    scale = 1.0 / math.sqrt(hd)
+    got = fused_ln_qkv_attention(
+        jnp.asarray(x), jnp.asarray(s), jnp.asarray(t),
+        jnp.asarray(w), jnp.asarray(bias), heads, scale, interpret=True,
+    )
+    want, _, _ = _ln_qkv_attn_oracle(x, s, t, w, bias, heads, scale)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-3)
+
+
+def test_fused_surgery_layer_matches_oracle():
+    """The fully-fused surgery layer (LN+QKV+main attn+side attn) vs a
+    float64 numpy oracle of models/clip.image_encoder_surgery's jnp
+    formulation (reference ``oadp/oake/objects.py:198-266``)."""
+    from oadp_tpu.ops.attention import fused_surgery_layer
+
+    rng = np.random.default_rng(5)
+    b, n, heads, hd = 4, 17, 2, 64
+    d = heads * hd
+    x = rng.standard_normal((b, n, d)).astype(np.float32)
+    y = rng.standard_normal((b, d)).astype(np.float32)
+    bias = np.concatenate([
+        (rng.random((b, n - 1)) > 0.5).astype(np.float64) * -100.0,
+        np.zeros((b, 1)),
+    ], -1).astype(np.float32)
+    s = rng.standard_normal(d).astype(np.float32)
+    t = rng.standard_normal(d).astype(np.float32)
+    w = (rng.standard_normal((d, 3 * d)) * 0.05).astype(np.float32)
+    bb = (rng.standard_normal(3 * d) * 0.05).astype(np.float32)
+    scale = 1.0 / math.sqrt(hd)
+
+    def ln64(rows):
+        rows = rows.astype(np.float64)
+        m = rows.mean(-1, keepdims=True)
+        v2 = ((rows - m) ** 2).mean(-1, keepdims=True)
+        return (rows - m) / np.sqrt(v2 + 1e-5) * s + t
+
+    w64 = w.astype(np.float64)
+    b64 = bb.astype(np.float64)
+    mains = np.zeros((b, n, d))
+    sides = np.zeros((b, d))
+    for bi in range(b):
+        qkv = ln64(x[bi]) @ w64 + b64
+        q, k, v = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+        for hh in range(heads):
+            sl = slice(hh * hd, (hh + 1) * hd)
+            sc = (q[:, sl] * scale) @ k[:, sl].T
+            e = np.exp(sc - sc.max(-1, keepdims=True))
+            mains[bi, :, sl] = (e / e.sum(-1, keepdims=True)) @ v[:, sl]
+        qkvy = ln64(y[bi:bi + 1]) @ w64 + b64
+        for hh in range(heads):
+            sl = slice(hh * hd, (hh + 1) * hd)
+            keys = np.concatenate(
+                [k[1:, sl], qkvy[:, d + hh * hd:d + (hh + 1) * hd]])
+            vals = np.concatenate(
+                [v[1:, sl], qkvy[:, 2 * d + hh * hd:2 * d + (hh + 1) * hd]])
+            sc = keys @ (qkvy[0, sl] * scale) + bias[bi]
+            e = np.exp(sc - sc.max())
+            sides[bi, sl] = (e / e.sum()) @ vals
+
+    mg, sg = fused_surgery_layer(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(bias),
+        jnp.asarray(s), jnp.asarray(t), jnp.asarray(w), jnp.asarray(bb),
+        heads, scale, with_main=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(mg), mains, atol=6e-3)
+    np.testing.assert_allclose(np.asarray(sg), sides, atol=6e-3)
+    # with_main=False (final block) computes the same side stream (via
+    # a kv-only GEMM, so only matmul-accumulation noise differs)
+    so = fused_surgery_layer(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(bias),
+        jnp.asarray(s), jnp.asarray(t), jnp.asarray(w), jnp.asarray(bb),
+        heads, scale, with_main=False, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(so), sides, atol=6e-3)
