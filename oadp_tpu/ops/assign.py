@@ -66,13 +66,6 @@ def max_iou_assign(
     return jnp.where(box_valid, assigned, -1)
 
 
-def _rank(keys: jnp.ndarray) -> jnp.ndarray:
-    """Ascending rank of each element (ties broken by position)."""
-    order = jnp.argsort(keys)
-    ranks = jnp.zeros_like(order)
-    return ranks.at[order].set(jnp.arange(keys.shape[0]))
-
-
 def random_sample(
     key: jax.Array,
     assigned: jnp.ndarray,  # (P,) from max_iou_assign
@@ -85,29 +78,47 @@ def random_sample(
     Returns ``(inds (num,), valid (num,), is_pos (num,))`` — positives
     first (mmdet ordering), padded with invalid slots when fewer than
     ``num`` candidates exist.
+
+    Selection is rank-based over ONE uniform key array (the pos/neg
+    candidate sets are disjoint, so sharing the draw keeps both subsets
+    exactly uniform) and uses k-sized ``top_k``s plus a tiny merge
+    instead of full-length argsorts — at RPN scale (~280k anchors) each
+    full-array sort/pass costs ~1 ms on TPU, and this path sits inside
+    every train step.
     """
     p = assigned.shape[0]
-    k_pos, k_neg = jax.random.split(key)
     is_pos = assigned > 0
     is_neg = assigned == 0
+    u = jax.random.uniform(key, (p,))
 
     num_pos_exp = int(num * pos_fraction)
-    pos_keys = jnp.where(is_pos, jax.random.uniform(k_pos, (p,)), 2.0)
-    pos_sel = is_pos & (_rank(pos_keys) < num_pos_exp)
-    n_pos = pos_sel.sum()
+    k_pos = min(num_pos_exp, p)
+    k_neg = min(num, p)
+    # top_k over (-key) == the k smallest keys == a uniform random
+    # subset of the candidates (invalid candidates carry key 2.0 and
+    # sort last; they are masked out after selection)
+    _, pos_idx = jax.lax.top_k(-jnp.where(is_pos, u, 2.0), k_pos)
+    _, neg_idx = jax.lax.top_k(-jnp.where(is_neg, u, 2.0), k_neg)
+    pos_ok = is_pos[pos_idx]  # (k_pos,)
+    neg_ok = is_neg[neg_idx]  # (k_neg,)
+    n_pos = pos_ok.sum()
 
-    neg_keys = jnp.where(is_neg, jax.random.uniform(k_neg, (p,)), 2.0)
-    neg_sel = is_neg & (_rank(neg_keys) < num - n_pos)
-
-    # Compact to a fixed-length index list, positives first.
-    priority = pos_sel * 2.0 + neg_sel * 1.0
-    priority = priority - jnp.arange(p) * 1e-9  # stable tie-break
+    # Merge: positives first, then enough negatives to fill `num`.
+    neg_ok = neg_ok & (jnp.arange(k_neg) < num - n_pos)
+    cand = jnp.concatenate([pos_idx, neg_idx])
+    cand_pos = jnp.concatenate(
+        [pos_ok, jnp.zeros(k_neg, bool)]
+    )
+    cand_ok = jnp.concatenate([pos_ok, neg_ok])
+    priority = (
+        cand_pos * 2.0 + cand_ok * 1.0
+        - jnp.arange(cand.shape[0]) * 1e-6  # keep selection order stable
+    )
     k = min(num, p)
-    _, inds = jax.lax.top_k(priority, k)
+    _, slot = jax.lax.top_k(priority, k)
+    inds = cand[slot]
     if k < num:  # fewer candidates than slots: pad with invalid
-        inds = jnp.concatenate(
-            [inds, jnp.zeros(num - k, inds.dtype)]
-        )
-    sel = pos_sel | neg_sel
-    valid = sel[inds] & (jnp.arange(num) < k)
-    return inds.astype(jnp.int32), valid, pos_sel[inds] & valid
+        inds = jnp.concatenate([inds, jnp.zeros(num - k, inds.dtype)])
+        slot = jnp.concatenate([slot, jnp.zeros(num - k, slot.dtype)])
+    valid = cand_ok[slot] & (jnp.arange(num) < k)
+    return inds.astype(jnp.int32), valid, cand_pos[slot] & valid

@@ -22,34 +22,95 @@ def nms(
     scores: jnp.ndarray,  # (N,) — invalid entries must carry -inf
     iou_threshold: float,
     max_out: int,
+    tile: int = 256,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS. Returns ``(indices, valid)`` of shape ``(max_out,)``;
     indices are ordered by descending score.
 
-    O(max_out * N): each iteration selects the argmax survivor and
-    suppresses its neighbours — vectorized over N on the VPU, bounded
-    iteration count for XLA.
+    Blocked EXACT greedy (the TPU formulation): candidates are sorted by
+    score and processed in ``tile``-sized blocks. Within a block the
+    keep set is the unique fixpoint of the strictly-triangular
+    suppression recurrence (iterated on a (tile, tile) boolean matrix —
+    converges in the longest suppression-chain length, a handful of
+    passes). Kept boxes then suppress all LATER candidates with one
+    vectorized (tile, N) IoU pass. The outer loop exits as soon as
+    ``max_out`` boxes are kept — earlier keeps never depend on later
+    tiles, so the result equals the serial greedy scan while running
+    ~N/tile vector steps instead of ``max_out`` scalar-argmax steps
+    (the previous formulation; 1000 serial iterations dominated the DP
+    train step's RPN stage).
     """
     n = boxes.shape[0]
+    nt = -(-n // tile)
+    pad = nt * tile - n
+    sc = scores.astype(jnp.float32)
+    order = jnp.argsort(-sc, stable=True)
+    sboxes = boxes.astype(jnp.float32)[order]
+    ssc = sc[order]
+    if pad:
+        sboxes = jnp.pad(sboxes, ((0, pad), (0, 0)))
+        ssc = jnp.pad(ssc, (0, pad), constant_values=NEG_INF)
+        order = jnp.pad(order, (0, pad))
+    npad = nt * tile
+    pos = jnp.arange(npad)
+    alive0 = ssc > NEG_INF / 2
 
-    def body(k, carry):
-        live_scores, idx, valid = carry
-        j = jnp.argmax(live_scores)
-        ok = live_scores[j] > NEG_INF / 2
-        idx = idx.at[k].set(jnp.where(ok, j.astype(jnp.int32), 0))
-        valid = valid.at[k].set(ok)
-        iou = _iou_one_to_many(boxes[j], boxes)
-        suppress = (iou > iou_threshold) & ok
-        live_scores = jnp.where(
-            suppress | (jnp.arange(n) == j), NEG_INF, live_scores
+    def pair_iou(a, b):  # (T, 4) x (M, 4) -> (T, M)
+        lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+        rb = jnp.minimum(a[:, None, 2:4], b[None, :, 2:4])
+        wh = jnp.clip(rb - lt, 0.0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        area_a = jnp.clip(a[:, 2] - a[:, 0], 0, None) * jnp.clip(
+            a[:, 3] - a[:, 1], 0, None
         )
-        return live_scores, idx, valid
+        area_b = jnp.clip(b[:, 2] - b[:, 0], 0, None) * jnp.clip(
+            b[:, 3] - b[:, 1], 0, None
+        )
+        return inter / jnp.maximum(
+            area_a[:, None] + area_b[None, :] - inter, 1e-6
+        )
 
-    idx0 = jnp.zeros(max_out, jnp.int32)
-    valid0 = jnp.zeros(max_out, bool)
-    _, idx, valid = jax.lax.fori_loop(
-        0, max_out, body, (scores.astype(jnp.float32), idx0, valid0)
+    tri = jnp.triu(jnp.ones((tile, tile), bool), k=1)
+
+    def outer_body(carry):
+        t, alive, keep = carry
+        start = t * tile
+        tb = jax.lax.dynamic_slice(sboxes, (start, 0), (tile, 4))
+        talive = jax.lax.dynamic_slice(alive, (start,), (tile,))
+        m = (pair_iou(tb, tb) > iou_threshold) & tri
+
+        def inner_cond(c):
+            k, prev = c
+            return jnp.any(k != prev)
+
+        def inner_body(c):
+            k, _ = c
+            sup = jnp.any(m & k[:, None], axis=0)
+            return talive & ~sup, k
+
+        k, _ = jax.lax.while_loop(
+            inner_cond, inner_body, (talive, ~talive)
+        )
+        keep = jax.lax.dynamic_update_slice(keep, k, (start,))
+        sup_later = (
+            jnp.any((pair_iou(tb, sboxes) > iou_threshold) & k[:, None],
+                    axis=0)
+            & (pos >= start + tile)
+        )
+        return t + 1, alive & ~sup_later, keep
+
+    def outer_cond(carry):
+        t, alive, keep = carry
+        return (t < nt) & (jnp.sum(keep) < max_out)
+
+    _, _, keep = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), alive0, jnp.zeros(npad, bool)),
     )
+    # compact the first max_out keeps, preserving score order
+    sel = jnp.argsort(jnp.where(keep, pos, npad + pos))[:max_out]
+    valid = keep[sel]
+    idx = jnp.where(valid, order[sel], 0).astype(jnp.int32)
     return idx, valid
 
 

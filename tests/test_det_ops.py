@@ -286,3 +286,38 @@ def test_random_sample_not_enough_candidates():
     assigned = jnp.asarray([1] * 2 + [0] * 4 + [-1] * 20)
     inds, valid, is_pos = S.random_sample(key, assigned, 32, 0.5)
     assert np.asarray(valid).sum() == 6
+
+
+def test_nms_multi_tile_matches_oracle():
+    """Stress the blocked formulation: >1 tile (n > 256), dense
+    overlaps, early-exit, and suppression CHAINS (A kills B, so C —
+    overlapped by B but not A — must be kept)."""
+    rng = np.random.default_rng(7)
+    n = 700
+    xy = rng.uniform(0, 300, (n, 2))
+    boxes = np.concatenate([xy, xy + rng.uniform(10, 120, (n, 2))], -1)
+    boxes = boxes.astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    for thr in (0.3, 0.5, 0.7):
+        expected = _oracle_nms(boxes, scores, thr)
+        for max_out in (16, 128, n):
+            idx, valid = N.nms(
+                jnp.asarray(boxes), jnp.asarray(scores), thr, max_out
+            )
+            got = list(np.asarray(idx)[np.asarray(valid)])
+            assert got == expected[:max_out], (thr, max_out)
+
+
+def test_nms_suppression_chain_exact():
+    """B (2nd best) is suppressed by A; C overlaps B but not A, so the
+    greedy scan must KEEP C. A naive one-pass 'suppressed by any
+    higher-scoring overlap' formulation would wrongly drop C."""
+    boxes = jnp.asarray([
+        [0.0, 0, 10, 10],     # A score .9
+        [4.0, 0, 14, 10],     # B overlaps A (iou ~0.43) score .8
+        [9.0, 0, 19, 10],     # C overlaps B (iou ~0.33), not A (~.05)
+    ])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    idx, valid = N.nms(boxes, scores, 0.3, 3)
+    got = list(np.asarray(idx)[np.asarray(valid)])
+    assert got == [0, 2]

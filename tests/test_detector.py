@@ -242,11 +242,14 @@ def test_detector_learns(setup):
             loss_fn, has_aux=True
         )(params)
         params, bufs = sgd_update(
-            params, grads, bufs, jnp.asarray(0.02), lr_mults,
+            params, grads, bufs, jnp.asarray(0.005), lr_mults,
             momentum=0.9, weight_decay=0.0,
         )
         return params, new_stats, bufs, sup
 
+    # lr 0.005: at 0.02 this tiny synthetic batch diverges for most
+    # sampling streams (the production schedule has 500-iter warmup
+    # before 0.02, which this plumbing test doesn't replicate).
     bufs = sgd_init(params)
     key = jax.random.key(0)
     losses = []
