@@ -321,30 +321,18 @@ def _surgery_layer_kernel(
         return (out * s_ref[...] + t_ref[...]).astype(x_ref.dtype)
 
     for bi in range(batch_per_block):
-        h = ln(x_ref[bi])
-        if with_main:
-            qkv = jax.lax.dot(
-                h, w_ref[...], preferred_element_type=jnp.float32,
-            ) + b_ref[...].astype(jnp.float32)
-            qkv = qkv.astype(x_ref.dtype)
-            k = qkv[:, d:2 * d]
-            v = qkv[:, 2 * d:]
-        else:
-            # last block: the main stream is discarded — only K/V feed
-            # the side stream (the q two-thirds of the GEMM is skipped)
-            kv = jax.lax.dot(
-                h, w_ref[:, d:], preferred_element_type=jnp.float32,
-            ) + b_ref[...][:, d:].astype(jnp.float32)
-            kv = kv.astype(x_ref.dtype)
-            k = kv[:, :d]
-            v = kv[:, d:]
-
-        # side query from ln(y) through the SAME projection
-        qkv_y = jax.lax.dot(
-            ln(y_ref[bi]), w_ref[...],
-            preferred_element_type=jnp.float32,
+        # ln(y) rides as row N of the main GEMM — same projection, and
+        # a standalone (1, D) matmul trips Mosaic's layout checks on
+        # some dtypes (observed: fp32 "Invalid input layout").
+        hy = jnp.concatenate([ln(x_ref[bi]), ln(y_ref[bi])], axis=0)
+        qkv_all = jax.lax.dot(
+            hy, w_ref[...], preferred_element_type=jnp.float32,
         ) + b_ref[...].astype(jnp.float32)
-        qkv_y = qkv_y.astype(x_ref.dtype)
+        qkv_all = qkv_all.astype(x_ref.dtype)
+        qkv = qkv_all[:n]
+        qkv_y = qkv_all[n:]
+        k = qkv[:, d:2 * d]
+        v = qkv[:, 2 * d:]
 
         if with_main:
             for hh in range(heads):
@@ -429,7 +417,8 @@ def fused_surgery_layer(
 
     Returns ``(main_attn_out (B, N, D), side_out (B, D))`` — or just
     ``side_out`` when ``with_main=False`` (the final block, whose main
-    stream is discarded; reference ``oadp/oake/objects.py:249-258``).
+    stream is discarded so its attention/out-proj/MLP are skipped;
+    reference ``oadp/oake/objects.py:249-258``).
     """
     b, n, d = x.shape
     bb = block_batch or (2 if b % 2 == 0 else 1)
