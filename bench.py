@@ -140,22 +140,22 @@ def bench_dp_train() -> dict:
     import jax.numpy as jnp
 
     from oadp_tpu.dp.builder import canvas_anchors
+    from oadp_tpu.dp.synthetic import (
+        make_embeddings,
+        make_train_batch,
+        make_train_step,
+    )
     from oadp_tpu.dp.trainer import (
         _lr_mult_tree,
-        lr_at,
         sgd_init,
-        sgd_update,
         trainable_mask_tree,
     )
     from oadp_tpu.models import detector as DET
 
     b, canvas = 2, (832, 1344)
-    g, kk, o = 32, 64, 256
     emb_dim = 512
     config = DET.DetectorConfig.build(48, 65, backbone_style='caffe')
-    rng = np.random.default_rng(0)
-    emb = rng.standard_normal((65, emb_dim)).astype(np.float32)
-    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    emb = make_embeddings(65, emb_dim)
     with jax.default_device(jax.devices('cpu')[0]):
         params, stats = DET.init_detector(
             jax.random.key(0), config, jnp.asarray(emb)
@@ -167,53 +167,12 @@ def bench_dp_train() -> dict:
     anchors = canvas_anchors(config, canvas)
     lr_mults = _lr_mult_tree(params, {'bbox_head': 0.5})
     trainable = trainable_mask_tree(params, config)
+    train_step = make_train_step(config, anchors, lr_mults, trainable)
 
-    def train_step(params, stats, bufs, batch, step, key):
-        def loss_fn(p):
-            losses, new_stats = DET.forward_train(
-                p, stats, batch, config, anchors, step, key
-            )
-            total = sum(
-                v for k2, v in losses.items() if k2.startswith('loss')
-            )
-            return total, new_stats
-
-        (total, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
-        lr = lr_at(step, 0.02, (30000,))
-        params, bufs = sgd_update(
-            params, grads, bufs, lr, lr_mults, trainable=trainable
-        )
-        return params, new_stats, bufs, total
-
-    xy = rng.uniform(0, 600, (b, g, 2))
-    gt = np.concatenate([xy, xy + rng.uniform(16, 200, (b, g, 2))], -1)
-    oxy = rng.uniform(0, 600, (b, o, 2))
-    ob = np.concatenate([oxy, oxy + rng.uniform(16, 200, (b, o, 2))], -1)
-    bxy = rng.uniform(0, 500, (b, kk, 2))
-    bb = np.concatenate([bxy, bxy + rng.uniform(64, 300, (b, kk, 2))], -1)
-    batch = {
-        'images': rng.standard_normal(
-            (b, *canvas, 3)
-        ).astype(np.float32).astype(jnp.bfloat16),
-        'img_hw': np.asarray([list(canvas)] * b, np.float32),
-        'gt_boxes': gt.astype(np.float32),
-        'gt_labels': rng.integers(0, 48, (b, g)).astype(np.int32),
-        'gt_valid': np.ones((b, g), bool),
-        'clip_global': rng.standard_normal((b, emb_dim)).astype(np.float32),
-        'block_boxes': bb.astype(np.float32),
-        'block_labels': (rng.random((b, kk, 65)) > 0.9),
-        'clip_blocks': rng.standard_normal(
-            (b, kk, emb_dim)
-        ).astype(np.float32),
-        'block_valid': np.ones((b, kk), bool),
-        'object_boxes': ob.astype(np.float32),
-        'clip_objects': rng.standard_normal(
-            (b, o, emb_dim)
-        ).astype(np.float32),
-        'object_valid': np.ones((b, o), bool),
-    }
+    batch = make_train_batch(
+        b, canvas, num_bases=48, num_all=65, emb_dim=emb_dim,
+        images_dtype=jnp.bfloat16,
+    )
     batch = {k2: jax.device_put(v, device) for k2, v in batch.items()}
 
     step_fn = jax.jit(train_step, donate_argnums=(0, 1, 2))

@@ -96,6 +96,11 @@ class DetEvaluator:
     def run(self, params, stats) -> dict[str, float]:
         results: dict[int, list[dict]] = {}
         n_done = 0
+        # replicate the model ONCE — a device_put inside the batch loop
+        # would re-upload the full detector every batch (hundreds of MB
+        # per step over a tunneled transport)
+        params = jax.device_put(params, self.repl)
+        stats = jax.device_put(stats, self.repl)
         for batch in self.loader.epoch(0):
             ids = batch['image_ids']
             scale = batch['scale_factor']
@@ -119,9 +124,7 @@ class DetEvaluator:
                 for k, v in device_batch.items()
             }
             out = self._fn(device_batch['images'].shape[1:3])(
-                jax.device_put(params, self.repl),
-                jax.device_put(stats, self.repl),
-                device_batch,
+                params, stats, device_batch,
             )
             out = jax.tree.map(np.asarray, out)
             for i in range(b):
@@ -210,9 +213,14 @@ class DetEvaluator:
 
         Each part is written to a temp file then atomically renamed, so
         a part's existence implies it is complete — no partial reads.
-        The injectable ``process_index``/``process_count``/``barrier``
-        exist for tests; production uses jax's process topology and the
-        multihost device barrier.
+        Every rank overwrites (``os.replace``) its own part BEFORE the
+        barrier, and rank 0 merges only after the barrier, so a merge
+        can never read a stale part left by a crashed earlier run: each
+        part read this round was freshly published this round. Rank 0
+        unlinks the parts after merging so rounds don't accumulate on
+        the shared filesystem. The injectable ``process_index``/
+        ``process_count``/``barrier`` exist for tests; production uses
+        jax's process topology and the multihost device barrier.
         """
         pc = jax.process_count() if process_count is None else process_count
         if pc == 1:
@@ -254,6 +262,10 @@ class DetEvaluator:
                 time_mod.sleep(0.1)
             with open(part, 'rb') as f:
                 merged.extend(pickle.load(f))
+        for p in range(pc):  # don't accumulate parts across rounds/runs
+            (root / f'round{rnd:04d}_part_{p:04d}.pkl').unlink(
+                missing_ok=True
+            )
         return merged
 
     def _write_dump(self, img_id: int, out: dict, i: int, scale) -> None:

@@ -361,7 +361,9 @@ def _surgery_layer_kernel(
         bias_y = bias_ref[bi][:, n - 1:n]
         for hh in range(heads):
             sl = slice(hh * hd, (hh + 1) * hd)
-            qy = qkv_y[:, sl] * qkv_y.dtype.type(scale)
+            qy = qkv_y[:, sl]
+            if fold_scale:  # same precision guard as the main stream:
+                qy = qy * qy.dtype.type(scale)  # exact only for 2^-k
             ky = qkv_y[:, d + hh * hd:d + (hh + 1) * hd]
             vy = qkv_y[:, 2 * d + hh * hd:2 * d + (hh + 1) * hd]
             kp = k[1:, sl]
@@ -370,10 +372,15 @@ def _surgery_layer_kernel(
                 qy, kp,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bias_p
+            )
             sy = (
                 qy.astype(jnp.float32) * ky.astype(jnp.float32)
-            ).sum(-1, keepdims=True) + bias_y
+            ).sum(-1, keepdims=True)
+            if not fold_scale:
+                s = s * scale
+                sy = sy * scale
+            s = s + bias_p
+            sy = sy + bias_y
             e = jnp.exp(jnp.minimum(s, _LOGIT_CLAMP))
             ey = jnp.exp(jnp.minimum(sy, _LOGIT_CLAMP))
             o = jnp.dot(
@@ -497,24 +504,32 @@ def _side_attn_kernel(
     hd = k_ref.shape[-1] // heads
     n = k_ref.shape[1]
     p = n - 1  # patch rows (row 0 of k/v is the main CLS — excluded)
+    fold_scale = scale > 0 and math.log2(scale).is_integer()
     for bi in range(batch_per_block):
         bias_p = b_ref[bi, :p][None, :]
         bias_y = b_ref[bi, p]
         for h in range(heads):
             sl = slice(h * hd, (h + 1) * hd)
-            q = qy_ref[bi, sl][None, :] * qy_ref.dtype.type(scale)
+            q = qy_ref[bi, sl][None, :]
+            if fold_scale:  # exact in bf16 only for power-of-two scales
+                q = q * q.dtype.type(scale)
             kp = k_ref[bi, 1:, sl]
             vp = v_ref[bi, 1:, sl]
             s = jax.lax.dot_general(
                 q, kp,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bias_p
+            )
             sy = (
                 q.astype(jnp.float32) * ky_ref[bi, sl][None, :].astype(
                     jnp.float32
                 )
-            ).sum() + bias_y
+            ).sum()
+            if not fold_scale:
+                s = s * scale
+                sy = sy * scale
+            s = s + bias_p
+            sy = sy + bias_y
             e = jnp.exp(jnp.minimum(s, _LOGIT_CLAMP))
             ey = jnp.exp(jnp.minimum(sy, _LOGIT_CLAMP))
             o = jnp.dot(

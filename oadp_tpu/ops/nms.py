@@ -107,10 +107,15 @@ def nms(
         outer_cond, outer_body,
         (jnp.int32(0), alive0, jnp.zeros(npad, bool)),
     )
-    # compact the first max_out keeps, preserving score order
+    # compact the first max_out keeps, preserving score order; pad the
+    # static output shape to max_out when there are fewer candidates
     sel = jnp.argsort(jnp.where(keep, pos, npad + pos))[:max_out]
     valid = keep[sel]
     idx = jnp.where(valid, order[sel], 0).astype(jnp.int32)
+    if idx.shape[0] < max_out:
+        short = max_out - idx.shape[0]
+        idx = jnp.concatenate([idx, jnp.zeros(short, jnp.int32)])
+        valid = jnp.concatenate([valid, jnp.zeros(short, bool)])
     return idx, valid
 
 

@@ -308,6 +308,23 @@ def test_nms_multi_tile_matches_oracle():
             assert got == expected[:max_out], (thr, max_out)
 
 
+def test_nms_max_out_exceeds_candidates():
+    """Static output shape must be (max_out,) even when max_out exceeds
+    the (tile-padded) candidate count."""
+    rng = np.random.default_rng(9)
+    n = 100
+    xy = rng.uniform(0, 300, (n, 2))
+    boxes = np.concatenate([xy, xy + rng.uniform(10, 80, (n, 2))], -1)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    idx, valid = N.nms(
+        jnp.asarray(boxes.astype(np.float32)), jnp.asarray(scores),
+        0.5, 300,
+    )
+    assert idx.shape == (300,) and valid.shape == (300,)
+    got = list(np.asarray(idx)[np.asarray(valid)])
+    assert got == _oracle_nms(boxes.astype(np.float32), scores, 0.5)
+
+
 def test_nms_suppression_chain_exact():
     """B (2nd best) is suppressed by A; C overlaps B but not A, so the
     greedy scan must KEEP C. A naive one-pass 'suppressed by any

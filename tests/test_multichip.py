@@ -153,6 +153,9 @@ def test_eval_gather_two_processes(tmp_path):
         root=tmp_path, barrier=barrier, timeout_s=5.0,
     )
     assert out0 == dets0 + dets1
+    # rank 0 cleans its round's parts up after merging
+    assert not list(tmp_path.glob('eval_gather/round*')), (
+        list(tmp_path.glob('eval_gather/*')))
     # a missing part raises instead of silently evaluating partial data
     DetEvaluator._gather_round = start_round + 10
     with pytest.raises(TimeoutError):

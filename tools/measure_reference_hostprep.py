@@ -77,21 +77,26 @@ def measure_ms_per_crop(n_crops: int = 512, pad: int = 640) -> float:
     for i in range(8):
         tf(image.crop((x0[i], y0[i], x0[i] + sides[i], y0[i] + sides[i])))
 
-    t0 = time.perf_counter()
-    for i in range(n_crops):
-        box = (x0[i], y0[i], x0[i] + sides[i], y0[i] + sides[i])
-        obj = image.crop(box)
-        tf(obj)
-        # background mask at crop resolution + nearest downsample
-        # (reference objects.py:129-155)
-        cw = int(np.ceil(box[2] - box[0]))
-        ch = int(np.ceil(box[3] - box[1]))
-        xm = (torch.arange(cw) < (cw * 0.7))[None, :]
-        ym = (torch.arange(ch) < (ch * 0.7))[:, None]
-        m = (~(xm & ym))[None, None].float()
-        F.interpolate(m, size=(14, 14), mode='nearest')
-    dt = time.perf_counter() - t0
-    return dt / n_crops * 1000.0
+    # best-of-3: the reference comparison must not be flattered by OUR
+    # host happening to be busy — take the fastest pass (lowest
+    # ms/crop), i.e. the most conservative ceiling
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_crops):
+            box = (x0[i], y0[i], x0[i] + sides[i], y0[i] + sides[i])
+            obj = image.crop(box)
+            tf(obj)
+            # background mask at crop resolution + nearest downsample
+            # (reference objects.py:129-155)
+            cw = int(np.ceil(box[2] - box[0]))
+            ch = int(np.ceil(box[3] - box[1]))
+            xm = (torch.arange(cw) < (cw * 0.7))[None, :]
+            ym = (torch.arange(ch) < (ch * 0.7))[:, None]
+            m = (~(xm & ym))[None, None].float()
+            F.interpolate(m, size=(14, 14), mode='nearest')
+        best = min(best, time.perf_counter() - t0)
+    return best / n_crops * 1000.0
 
 
 def main() -> None:
