@@ -79,17 +79,26 @@ def nms(
         talive = jax.lax.dynamic_slice(alive, (start,), (tile,))
         m = (pair_iou(tb, tb) > iou_threshold) & tri
 
+        # Fixpoint of the triangular suppression recurrence. The plain
+        # iteration k <- talive & ~suppressed_by(k) is an ANTITONE map:
+        # it can enter a 2-cycle and never reach the fixpoint (observed
+        # on real data — an uncapped while_loop span forever). But any
+        # position of suppression-rank r (longest M-chain into it) is
+        # provably FINAL after r iterations regardless of oscillation
+        # elsewhere, and ranks are < tile, so capping at ``tile``
+        # iterations yields the exact greedy keep set; the change-check
+        # still exits after ~2-3 passes in the common case.
         def inner_cond(c):
-            k, prev = c
-            return jnp.any(k != prev)
+            k, prev, it = c
+            return jnp.any(k != prev) & (it < tile)
 
         def inner_body(c):
-            k, _ = c
+            k, _, it = c
             sup = jnp.any(m & k[:, None], axis=0)
-            return talive & ~sup, k
+            return talive & ~sup, k, it + 1
 
-        k, _ = jax.lax.while_loop(
-            inner_cond, inner_body, (talive, ~talive)
+        k, _, _ = jax.lax.while_loop(
+            inner_cond, inner_body, (talive, ~talive, jnp.int32(0))
         )
         keep = jax.lax.dynamic_update_slice(keep, k, (start,))
         sup_later = (

@@ -338,3 +338,18 @@ def test_nms_suppression_chain_exact():
     idx, valid = N.nms(boxes, scores, 0.3, 3)
     got = list(np.asarray(idx)[np.asarray(valid)])
     assert got == [0, 2]
+
+
+def test_nms_oscillating_suppression_terminates():
+    """Regression: this exact input drove the inner suppression
+    iteration into a 2-cycle (the map is antitone, not monotone) and an
+    uncapped while_loop span forever under jit. The capped iteration
+    must terminate AND still equal the serial greedy oracle."""
+    rng = np.random.default_rng(0)
+    boxes = rng.uniform(0, 50000, (3250, 4)).astype(np.float32)
+    scores = rng.random(3250).astype(np.float32)
+    idx, valid = jax.jit(
+        lambda b, s: N.nms(b, s, 0.5, 300)
+    )(jnp.asarray(boxes), jnp.asarray(scores))
+    got = list(np.asarray(idx)[np.asarray(valid)])
+    assert got == _oracle_nms(boxes, scores, 0.5)[:300]
