@@ -323,8 +323,17 @@ def forward_train(
         gt_boxes, gt_valid, batch['gt_labels'],
     )
 
-    roi_feats = _roi_feats(pyramid, rois)
+    # ONE RoIAlign over rcnn + object + block rois: the gather is the
+    # expensive part and batches better than three separate calls (its
+    # backward is also a single scatter-add instead of three).
     r = config.rcnn_samples
+    o = batch['object_boxes'].shape[1]
+    all_rois = [rois, batch['object_boxes']]
+    if config.with_block:
+        all_rois.append(batch['block_boxes'])
+    packed_feats = _roi_feats(pyramid, jnp.concatenate(all_rois, axis=1))
+    roi_feats = packed_feats[:, :r]
+    obj_feats = packed_feats[:, r:r + o]
     flat_feats = roi_feats.reshape(b * r, *roi_feats.shape[2:])
     labels_f = labels.reshape(-1)
     sel_f = sel_valid.reshape(-1)
@@ -372,8 +381,6 @@ def forward_train(
         )
 
     # --- object head distillation -------------------------------------
-    obj_feats = _roi_feats(pyramid, batch['object_boxes'])
-    o = batch['object_boxes'].shape[1]
     obj_mask = batch['object_valid'].reshape(-1)
     _, _, obj_proj, object_stats = convfc_forward(
         params['object_head'], stats['object_head'],
@@ -387,7 +394,7 @@ def forward_train(
 
     # --- block head ----------------------------------------------------
     if config.with_block:
-        blk_feats = _roi_feats(pyramid, batch['block_boxes'])
+        blk_feats = packed_feats[:, r + o:]
         kk = batch['block_boxes'].shape[1]
         blk_mask = batch['block_valid'].reshape(-1)
         blk_logits, _, blk_proj, block_stats = convfc_forward(
