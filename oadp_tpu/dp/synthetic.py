@@ -39,11 +39,16 @@ def make_train_batch(
     consumes."""
     rng = np.random.default_rng(seed)
     h, w = canvas
-    lim = 0.7 * min(h, w)
+    m = min(h, w)
+    lim = 0.7 * m
 
     def boxes(n, lo, hi):
+        """In-canvas boxes: sizes scale down with the canvas so tiny
+        dry-run geometries (e.g. 64x64) stay valid."""
+        lo2 = min(float(lo), 0.3 * m)
+        hi2 = max(lo2 + 1.0, min(float(hi), m - lim))
         xy = rng.uniform(0, lim, (b, n, 2))
-        wh = rng.uniform(lo, min(hi, min(h, w) - lo), (b, n, 2))
+        wh = rng.uniform(lo2, hi2, (b, n, 2))
         return np.concatenate([xy, xy + wh], -1).astype(np.float32)
 
     gt_valid = np.ones((b, n_gt), bool)
@@ -81,39 +86,20 @@ def make_train_step(
     milestones: tuple = (30000,),
     n_dev: int = 1,
 ):
-    """The production train step: all losses + torch-SGD update.
+    """Adapter over :func:`dp.trainer.build_train_step` — THE trainer's
+    own step recipe — returning the scalar total instead of the loss
+    dict (the benchmark/dry-run consumption shape)."""
+    from .trainer import build_train_step
 
-    ``n_dev`` applies the trainer's ``loss_clip_global / n_dev`` DDP
-    parity scaling (see ``dp/trainer``: the reference's summed global
-    distill loss is effectively divided by the world size by DDP's
-    mean all-reduce).
-    """
-    import jax
-
-    from ..models import detector as DET
-    from .trainer import lr_at, sgd_update
+    inner = build_train_step(
+        config, anchors, lr_mults, trainable,
+        base_lr=base_lr, milestones=milestones, n_dev=n_dev,
+    )
 
     def train_step(params, stats, bufs, batch, step, key):
-        def loss_fn(p):
-            losses, new_stats = DET.forward_train(
-                p, stats, batch, config, anchors, step, key
-            )
-            if n_dev > 1 and 'loss_clip_global' in losses:
-                losses['loss_clip_global'] = (
-                    losses['loss_clip_global'] / n_dev
-                )
-            total = sum(
-                v for k, v in losses.items() if k.startswith('loss')
-            )
-            return total, new_stats
-
-        (total, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
-        lr = lr_at(step, base_lr, milestones)
-        params, bufs = sgd_update(
-            params, grads, bufs, lr, lr_mults, trainable=trainable
+        params, new_stats, bufs, losses = inner(
+            params, stats, bufs, batch, step, key
         )
-        return params, new_stats, bufs, total
+        return params, new_stats, bufs, losses['total']
 
     return train_step

@@ -18,8 +18,8 @@ Replaces mmdet's runner/DDP machinery (reference ``oadp/dp/train.py:
 """
 
 __all__ = [
-    'TrainState', 'Trainer', 'sgd_init', 'sgd_update', 'lr_at',
-    'trainable_mask_tree',
+    'TrainState', 'Trainer', 'build_train_step', 'sgd_init',
+    'sgd_update', 'lr_at', 'trainable_mask_tree',
 ]
 
 import dataclasses
@@ -150,6 +150,60 @@ def sgd_update(
     return new_params, new_bufs
 
 
+def build_train_step(
+    config,
+    anchors,
+    lr_mults: Params,
+    trainable: Params,
+    base_lr: float = 0.02,
+    milestones: tuple = (30000,),
+    momentum: float = 0.9,
+    weight_decay: float = 2.5e-5,
+    warmup_iters: int = 500,
+    warmup_ratio: float = 0.001,
+    n_dev: int = 1,
+) -> Callable:
+    """THE production train step: all losses + torch-SGD update.
+
+    The single source shared by ``Trainer._make_step``, ``bench.py``,
+    ``tools/profile_dp.py`` and the ``__graft_entry__`` dry run (via
+    ``dp.synthetic``), so benchmarks can't drift from training.
+
+    ``n_dev``: the reference's sum-reduced global distill loss runs
+    per-GPU under DDP whose grad all-reduce MEANS across ranks, so its
+    effective gradient is sum/world_size; a jitted step over the global
+    batch must divide explicitly.
+    """
+
+    def step_fn(params, stats, bufs, batch, step, rng):
+        def loss_fn(p):
+            losses, new_stats = DET.forward_train(
+                p, stats, batch, config, anchors, step, rng
+            )
+            if 'loss_clip_global' in losses:
+                losses['loss_clip_global'] = (
+                    losses['loss_clip_global'] / n_dev
+                )
+            total = sum(
+                v for k, v in losses.items() if k.startswith('loss')
+            )
+            return total, (losses, new_stats)
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        lr = lr_at(step, base_lr, milestones, warmup_iters, warmup_ratio)
+        params, bufs = sgd_update(
+            params, grads, bufs, lr, lr_mults, momentum, weight_decay,
+            trainable,
+        )
+        losses['total'] = total
+        losses['lr'] = lr
+        return params, new_stats, bufs, losses
+
+    return step_fn
+
+
 @dataclasses.dataclass
 class TrainState:
     params: Params
@@ -240,46 +294,19 @@ class Trainer:
 
     def _make_step(self, canvas: tuple, epoch_len: int) -> Callable:
         config = self.bundle.config
-        anchors = canvas_anchors(config, canvas)
-        milestones = self._milestone_iters(epoch_len)
-        lr_mults = _lr_mult_tree(self.bundle.params, self.lr_rules)
-        trainable = trainable_mask_tree(self.bundle.params, config)
-        base_lr = self.base_lr
-        momentum, wd = self.momentum, self.weight_decay
-        warmup_iters, warmup_ratio = self.warmup_iters, self.warmup_ratio
-        # The reference's sum-reduced global distill loss runs per-GPU
-        # under DDP whose grad all-reduce MEANS across ranks, so its
-        # effective gradient is sum/world_size; the single jitted step
-        # here sees the global batch and must divide explicitly.
-        n_dev = self.n_devices
-
-        def step_fn(params, stats, bufs, batch, step, rng):
-            def loss_fn(p):
-                losses, new_stats = DET.forward_train(
-                    p, stats, batch, config, anchors, step, rng
-                )
-                if 'loss_clip_global' in losses:
-                    losses['loss_clip_global'] = (
-                        losses['loss_clip_global'] / n_dev
-                    )
-                total = sum(
-                    v for k, v in losses.items() if k.startswith('loss')
-                )
-                return total, (losses, new_stats)
-
-            (total, (losses, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params)
-            lr = lr_at(
-                step, base_lr, milestones, warmup_iters, warmup_ratio
-            )
-            params, bufs = sgd_update(
-                params, grads, bufs, lr, lr_mults, momentum, wd, trainable
-            )
-            losses['total'] = total
-            losses['lr'] = lr
-            return params, new_stats, bufs, losses
-
+        step_fn = build_train_step(
+            config,
+            canvas_anchors(config, canvas),
+            _lr_mult_tree(self.bundle.params, self.lr_rules),
+            trainable_mask_tree(self.bundle.params, config),
+            base_lr=self.base_lr,
+            milestones=self._milestone_iters(epoch_len),
+            momentum=self.momentum,
+            weight_decay=self.weight_decay,
+            warmup_iters=self.warmup_iters,
+            warmup_ratio=self.warmup_ratio,
+            n_dev=self.n_devices,
+        )
         return jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
     def _device_batch(self, batch: dict) -> dict:
