@@ -118,3 +118,23 @@ def test_eval_hook_by_epoch(tmp_path):
     trainer.fit()
     # epochs 2 and 4 -> exactly two evaluation runs (NOT one per 2 iters)
     assert len(calls) == 2, calls
+
+
+def test_synthetic_batch_boxes_stay_in_canvas():
+    """make_train_batch must produce valid in-canvas boxes at any
+    geometry — the 64x64 dry-run canvas previously crashed it and the
+    bench canvas produced out-of-canvas blocks."""
+    from oadp_tpu.dp.synthetic import make_train_batch
+
+    for canvas in ((64, 64), (832, 1344), (192, 256)):
+        batch = make_train_batch(
+            2, canvas, num_bases=3, num_all=5, emb_dim=8,
+            n_gt=4, n_blocks=6, n_objects=8,
+        )
+        h, w = canvas
+        for key in ('gt_boxes', 'block_boxes', 'object_boxes'):
+            bx = batch[key]
+            assert (bx[..., 2] > bx[..., 0]).all(), (canvas, key)
+            assert (bx[..., 3] > bx[..., 1]).all(), (canvas, key)
+            assert bx[..., 2].max() <= w and bx[..., 3].max() <= h, (
+                canvas, key)
