@@ -87,34 +87,40 @@ def bench_oake() -> dict:
     y0 = rng.uniform(0, pad - 32, mini)
     boxes = np.stack([x0, y0, x0 + sides, y0 + sides], -1)
     meta = P.clip_transform_meta(pad, pad, boxes)
+    # globals runs as its own batched pipeline (configs/oake/globals.py
+    # batch_size=16): one whole-image dispatch covers 16 images
+    gbatch = 16
     gmeta = P.clip_transform_meta(
-        pad, pad, np.asarray([[0.0, 0.0, pad, pad]])
+        pad, pad, np.asarray([[0.0, 0.0, pad, pad]] * gbatch)
     )
+    gimages = np.broadcast_to(image, (gbatch, pad, pad, 3))
 
-    def one_image():
-        return [
-            steps.objects_step(image, meta, masks, k),
-            steps.globals_step(image[None], gmeta, k),
-        ]
+    def objects_one():
+        return steps.objects_step(image, meta, masks, k)
 
-    def sync(outs):
+    def globals_batch():
+        return steps.globals_step(gimages, gmeta, k)
+
+    def sync(*outs):
         # fetch to host: block_until_ready is unreliable on tunneled
         # backends, and production reads embeddings back anyway
         return [np.asarray(o) for o in outs]
 
-    sync(one_image())  # compile
-    sync(one_image())  # warm
+    sync(objects_one(), globals_batch())  # compile
+    sync(objects_one(), globals_batch())  # warm
 
     # production runner keeps one image in flight: dispatch image i+1,
-    # then fetch image i (oake/base.py deferred-save slot)
-    n_images = 8
+    # then fetch image i (oake/base.py deferred-save slot); the globals
+    # pipeline contributes one batched dispatch per `gbatch` images
+    n_images = 16
     t0 = time.perf_counter()
-    pending = one_image()
+    pending = objects_one()
+    g_pending = globals_batch()  # covers all 16 images of this run
     for _ in range(n_images - 1):
-        nxt = one_image()
+        nxt = objects_one()
         sync(pending)
         pending = nxt
-    sync(pending)
+    sync(pending, g_pending)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = n_images / dt
