@@ -44,12 +44,16 @@ def make_train_batch(
 
     def boxes(n, lo, hi):
         """In-canvas boxes: sizes scale down with the canvas so tiny
-        dry-run geometries (e.g. 64x64) stay valid."""
+        dry-run geometries (e.g. 64x64) stay valid. The clamp makes the
+        invariant hold by construction — the hi2 fallback can otherwise
+        exceed the canvas by up to 1px at small geometries."""
         lo2 = min(float(lo), 0.3 * m)
         hi2 = max(lo2 + 1.0, min(float(hi), m - lim))
         xy = rng.uniform(0, lim, (b, n, 2))
         wh = rng.uniform(lo2, hi2, (b, n, 2))
-        return np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        return np.concatenate(
+            [xy, np.minimum(xy + wh, m)], -1
+        ).astype(np.float32)
 
     gt_valid = np.ones((b, n_gt), bool)
     if n_gt_valid is not None:

@@ -301,7 +301,9 @@ def _block(
     return x
 
 
-def _block_fused(x: jax.Array, p: Params, heads: int) -> jax.Array:
+def _block_fused(
+    x: jax.Array, p: Params, heads: int, interpret: bool = False
+) -> jax.Array:
     """Transformer block with the LN1+QKV+attention Pallas kernel
     (TPU): the qkv tensor and the LN output never round-trip HBM."""
     from ..ops.attention import fused_ln_qkv_attention
@@ -311,6 +313,7 @@ def _block_fused(x: jax.Array, p: Params, heads: int) -> jax.Array:
     a = fused_ln_qkv_attention(
         x, p['ln_1']['scale'], p['ln_1']['bias'],
         attn['qkv_w'], attn['qkv_b'], heads, scale,
+        interpret=interpret,
     )
     x = x + (a @ attn['out_w'] + attn['out_b'])
     x = x + _mlp(_layer_norm(x, p['ln_2']), p['mlp'])
@@ -365,19 +368,24 @@ def image_encoder(
     params: Params,
     images: jax.Array,
     config: ViTConfig = ViTConfig(),
+    interpret_fused: bool = False,
 ) -> jax.Array:
     """Stock CLIP image encoder: ``(B, H, W, 3)`` → ``(B, output_dim)``.
 
     Equivalent of ``model.encode_image`` used by the globals/blocks
     pipelines (reference ``oadp/oake/globals.py:57``,
     ``oadp/oake/blocks.py:129``).
+
+    ``interpret_fused`` forces the TPU-fused block wiring through the
+    Pallas interpreter so CPU tests exercise the exact on-chip
+    residual/MLP sequencing.
     """
     x = _embed_patches(images, params, config)
     x = _layer_norm(x, params['ln_pre'])
-    fused = _use_fused_block(config)
+    fused = _use_fused_block(config) or interpret_fused
     for block in params['blocks']:
         x = (
-            _block_fused(x, block, config.heads)
+            _block_fused(x, block, config.heads, interpret=interpret_fused)
             if fused else _block(x, block, config.heads)
         )
     x = _layer_norm(x[:, 0], params['ln_post'])
@@ -389,6 +397,7 @@ def image_encoder_surgery(
     images: jax.Array,
     masks: jax.Array,
     config: ViTConfig = ViTConfig(stride=16),
+    interpret_fused: bool = False,
 ) -> jax.Array:
     """Masked attention-pool CLIP encoder (the OAKE-objects model).
 
@@ -407,6 +416,8 @@ def image_encoder_surgery(
         images: ``(B, H, W, 3)`` normalized crops.
         masks: ``(B, g, g)`` background masks — 1 for background, 0 for
             the object (reference ``oadp/oake/objects.py:129-155``).
+        interpret_fused: force the TPU fused-surgery wiring through the
+            Pallas interpreter (CPU tests of the on-chip branch).
     """
     x = _embed_patches(images, params, config)
     x = _layer_norm(x, params['ln_pre'])
@@ -434,7 +445,10 @@ def image_encoder_surgery(
     )  # (B, P+1): patch biases then the side token's own (zero)
     bias = bias_flat[:, None, None, :]
     use_side_kernel = fused_side_attention_supported(heads, D // heads)
-    use_fused_surgery = fused_surgery_layer_supported(heads, D // heads)
+    use_fused_surgery = (
+        fused_surgery_layer_supported(heads, D // heads)
+        or interpret_fused
+    )
 
     y = x[:, :1]
     n_blocks = len(params['blocks'])
@@ -455,9 +469,13 @@ def image_encoder_surgery(
                 qkv_w, qkv_b, heads, 1.0 / math.sqrt(D // heads),
             )
             if last:
-                side = fused_surgery_layer(*args, with_main=False)
+                side = fused_surgery_layer(
+                    *args, with_main=False, interpret=interpret_fused
+                )
             else:
-                main, side = fused_surgery_layer(*args, with_main=True)
+                main, side = fused_surgery_layer(
+                    *args, with_main=True, interpret=interpret_fused
+                )
                 x = x + (main @ attn['out_w'] + attn['out_b'])
             y = y + (side[:, None] @ attn['out_w'] + attn['out_b'])
             y = y + _mlp(_layer_norm(y, block['ln_2']), block['mlp'])

@@ -167,13 +167,11 @@ def fused_mha_qkv_supported(heads: int, head_dim: int) -> bool:
 
 
 def _ln_qkv_attn_kernel(
-    x_ref, s_ref, t_ref, w_ref, b_ref, o_ref, *rest,
-    heads: int, scale: float, batch_per_block: int, want_kv: bool,
+    x_ref, s_ref, t_ref, w_ref, b_ref, o_ref,
+    *, heads: int, scale: float, batch_per_block: int,
 ):
     d = x_ref.shape[-1]
     hd = d // heads
-    if want_kv:
-        k_ref, v_ref = rest
     for bi in range(batch_per_block):
         # LayerNorm in fp32 (CLIP semantics, models/clip._layer_norm)
         xx = x_ref[bi].astype(jnp.float32)
@@ -189,9 +187,6 @@ def _ln_qkv_attn_kernel(
             preferred_element_type=jnp.float32,
         ) + b_ref[...].astype(jnp.float32)
         qkv = qkv.astype(x_ref.dtype)
-        if want_kv:
-            k_ref[bi] = qkv[:, d:2 * d]
-            v_ref[bi] = qkv[:, 2 * d:]
         fold_scale = scale > 0 and math.log2(scale).is_integer()
         for hh in range(heads):
             q = qkv[:, hh * hd:(hh + 1) * hd]
@@ -216,7 +211,7 @@ def _ln_qkv_attn_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=('heads', 'scale', 'want_kv', 'interpret')
+    jax.jit, static_argnames=('heads', 'scale', 'interpret')
 )
 def fused_ln_qkv_attention(
     x: jax.Array,  # (B, N, D) residual-stream input (pre-LN)
@@ -226,7 +221,6 @@ def fused_ln_qkv_attention(
     qkv_b: jax.Array,  # (3D,)
     heads: int,
     scale: float,
-    want_kv: bool = False,
     interpret: bool = False,
 ):
     """LayerNorm → QKV projection → softmax attention in ONE kernel.
@@ -235,13 +229,13 @@ def fused_ln_qkv_attention(
     round-trips the ``(B, N, 3D)`` qkv tensor and the LN output through
     HBM — ~1.9 GB per layer at the OAKE batch (1024×197×768 bf16), which
     dominates the attention step. Here qkv lives and dies in VMEM; HBM
-    traffic per layer drops to ``x`` in + attention out (and optionally
-    K/V out for the surgery side stream). Measured on v5e: ~12% off the
-    full encoder despite Mosaic's GEMM running at ~half of XLA's rate.
+    traffic per layer drops to ``x`` in + attention out. Measured on
+    v5e: ~12% off the full encoder despite Mosaic's GEMM running at
+    ~half of XLA's rate.
 
-    Returns ``attn_out (B, N, D)``; with ``want_kv`` also the K and V
-    projections (for :func:`fused_side_attention` in the surgery
-    encoder, reference ``oadp/oake/objects.py:224-247``).
+    Returns ``attn_out (B, N, D)``. (The surgery encoder uses
+    :func:`fused_surgery_layer` instead, which additionally folds the
+    masked side stream — reference ``oadp/oake/objects.py:224-247``.)
     """
     b, n, d = x.shape
     bb = 2 if b % 2 == 0 else 1
@@ -251,15 +245,10 @@ def fused_ln_qkv_attention(
     blk = lambda cols: pl.BlockSpec(  # noqa: E731
         (bb, n, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    out_shapes = [jax.ShapeDtypeStruct((b, n, d), x.dtype)]
-    out_specs = [blk(d)]
-    if want_kv:
-        out_shapes += [jax.ShapeDtypeStruct((b, n, d), x.dtype)] * 2
-        out_specs += [blk(d), blk(d)]
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
             _ln_qkv_attn_kernel, heads=heads, scale=scale,
-            batch_per_block=bb, want_kv=want_kv,
+            batch_per_block=bb,
         ),
         grid=(b // bb,),
         in_specs=[
@@ -270,12 +259,11 @@ def fused_ln_qkv_attention(
             ),
             row(3 * d),
         ],
-        out_specs=out_specs,
-        out_shape=out_shapes,
+        out_specs=blk(d),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d * 3 * d + 2 * b * heads * n * n * (d // heads) * 2,
-            bytes_accessed=(2 + (2 if want_kv else 0)) * b * n * d
-            * x.dtype.itemsize,
+            bytes_accessed=2 * b * n * d * x.dtype.itemsize,
             transcendentals=b * heads * n * n,
         ),
         interpret=interpret,
@@ -286,9 +274,6 @@ def fused_ln_qkv_attention(
         qkv_w,
         qkv_b.reshape(1, 3 * d),
     )
-    if want_kv:
-        return tuple(out)
-    return out[0]
 
 
 def fused_ln_qkv_attention_supported(heads: int, head_dim: int) -> bool:

@@ -143,22 +143,12 @@ def test_fused_ln_qkv_attention_matches_oracle():
     bias = (rng.standard_normal(3 * d) * 0.05).astype(np.float32)
     scale = 1.0 / math.sqrt(hd)
 
-    got, kg, vg = fused_ln_qkv_attention(
-        jnp.asarray(x), jnp.asarray(s), jnp.asarray(t),
-        jnp.asarray(w), jnp.asarray(bias), heads, scale,
-        want_kv=True, interpret=True,
-    )
-    want, kw, vw = _ln_qkv_attn_oracle(x, s, t, w, bias, heads, scale)
-    np.testing.assert_allclose(np.asarray(got), want, atol=5e-3)
-    np.testing.assert_allclose(np.asarray(kg), kw, atol=5e-3)
-    np.testing.assert_allclose(np.asarray(vg), vw, atol=5e-3)
-
-    # want_kv=False returns the same attention output
-    only = fused_ln_qkv_attention(
+    got = fused_ln_qkv_attention(
         jnp.asarray(x), jnp.asarray(s), jnp.asarray(t),
         jnp.asarray(w), jnp.asarray(bias), heads, scale, interpret=True,
     )
-    np.testing.assert_allclose(np.asarray(only), np.asarray(got), atol=0)
+    want, _, _ = _ln_qkv_attn_oracle(x, s, t, w, bias, heads, scale)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-3)
 
 
 def test_fused_ln_qkv_attention_odd_batch():

@@ -107,6 +107,38 @@ def test_surgery_parity(small_models):
     np.testing.assert_allclose(actual, expected, atol=5e-4, rtol=1e-3)
 
 
+def test_fused_wiring_matches_jnp_paths(small_models):
+    """The TPU-only fused branches — ``_block_fused`` in the stock
+    encoder and the ``use_fused_surgery`` residual/MLP sequencing in
+    the surgery encoder — executed here via the Pallas interpreter,
+    must match the default jnp paths. Guards the on-chip wiring
+    (misplaced residuals etc.) that CPU tests otherwise never run.
+    """
+    _, _, vit_params, _, config, _ = small_models
+    rng = np.random.RandomState(7)
+    images = rng.randn(2, 64, 64, 3).astype(np.float32)
+
+    plain = np.asarray(jclip.image_encoder(vit_params, images, config))
+    fused = np.asarray(
+        jclip.image_encoder(
+            vit_params, images, config, interpret_fused=True
+        )
+    )
+    np.testing.assert_allclose(fused, plain, atol=2e-4, rtol=1e-3)
+
+    up_params, up_config = jclip.upsample_vit_params(vit_params, config)
+    masks = (rng.rand(2, 8, 8) > 0.5).astype(np.float32)
+    plain_s = np.asarray(
+        jclip.image_encoder_surgery(up_params, images, masks, up_config)
+    )
+    fused_s = np.asarray(
+        jclip.image_encoder_surgery(
+            up_params, images, masks, up_config, interpret_fused=True
+        )
+    )
+    np.testing.assert_allclose(fused_s, plain_s, atol=2e-4, rtol=1e-3)
+
+
 def test_surgery_mask_matters(small_models):
     visual, _, vit_params, _, config, _ = small_models
     up_params, up_config = jclip.upsample_vit_params(vit_params, config)
