@@ -200,6 +200,10 @@ def bench_dp_train() -> dict:
         'value': round(imgs_per_sec, 3),
         'unit': 'images/sec/chip (batch 2, 832x1344, bf16)',
         'vs_baseline': round(imgs_per_sec / baseline, 3),
+        'baseline': baseline,
+        'baseline_kind': 'estimated (literature-class mmdet Faster '
+                         'R-CNN on V100; no measured reference ceiling '
+                         'available in this environment)',
     }
 
 
