@@ -80,26 +80,37 @@ def bench_oake() -> dict:
 
     # Synthetic square proposals with realistic size spread, preprocessed
     # exactly as the objects pipeline does (per-crop scalar meta; tap
-    # weights built on device).
-    k = 21
+    # weights built on device, tap count bucketed per batch exactly as
+    # ObjectsPipeline.prepare does).
+    from oadp_tpu.oake.base import bucket
     sides = rng.uniform(32, 600, mini)
     x0 = rng.uniform(0, pad - 32, mini)
     y0 = rng.uniform(0, pad - 32, mini)
     boxes = np.stack([x0, y0, x0 + sides, y0 + sides], -1)
     meta = P.clip_transform_meta(pad, pad, boxes)
+    k_buckets = (5, 9, 13, 21, 33, 49)
+    scale = np.maximum(
+        np.maximum(meta[:, 2] / meta[:, 4], meta[:, 3] / meta[:, 5]), 1.0
+    )
+    k = bucket(int((2 * np.ceil(2.0 * scale) + 1).max()), k_buckets)
     # globals runs as its own batched pipeline (configs/oake/globals.py
     # batch_size=16): one whole-image dispatch covers 16 images
     gbatch = 16
     gmeta = P.clip_transform_meta(
         pad, pad, np.asarray([[0.0, 0.0, pad, pad]] * gbatch)
     )
+    gscale = np.maximum(
+        np.maximum(gmeta[:, 2] / gmeta[:, 4], gmeta[:, 3] / gmeta[:, 5]),
+        1.0,
+    )
+    gk = bucket(int((2 * np.ceil(2.0 * gscale) + 1).max()), k_buckets)
     gimages = np.broadcast_to(image, (gbatch, pad, pad, 3))
 
     def objects_one():
         return steps.objects_step(image, meta, masks, k)
 
     def globals_batch():
-        return steps.globals_step(gimages, gmeta, k)
+        return steps.globals_step(gimages, gmeta, gk)
 
     def sync(*outs):
         # fetch to host: block_until_ready is unreliable on tunneled

@@ -180,10 +180,19 @@ class OakeSteps:
         )
 
 
+def _compute_dtype(dtype):
+    """Resize fast-path dtype: bf16 encoders take the single-pass MXU
+    resize (pixel integers are exact in bf16; the ~0.4% weight rounding
+    is below the encoder's own activation noise); fp32 encoders keep the
+    PIL-bit-faithful fp32 path."""
+    return jnp.bfloat16 if dtype == jnp.bfloat16 else None
+
+
 def _globals_fn(params, images, meta, *, config, dtype, k_pad):
     wx_w, wx_s, wy_w, wy_s = P.device_coeffs(meta, k_pad)
     crops = P.apply_resize_coeffs(
-        images.astype(jnp.float32), wx_w, wx_s, wy_w, wy_s
+        images.astype(jnp.float32), wx_w, wx_s, wy_w, wy_s,
+        compute_dtype=_compute_dtype(dtype),
     )
     crops = P.normalize_clip(crops, dtype)
     emb = C.image_encoder(params, crops, config)
@@ -223,7 +232,8 @@ def _objects_fn(params, image, meta, masks, *, config, dtype, k_pad):
     # and no coefficient shipping on the hot path.
     wx_w, wx_start, wy_w, wy_start = P.device_coeffs(meta, k_pad)
     crops = P.apply_resize_coeffs(
-        image.astype(jnp.float32), wx_w, wx_start, wy_w, wy_start
+        image.astype(jnp.float32), wx_w, wx_start, wy_w, wy_start,
+        compute_dtype=_compute_dtype(dtype),
     )
     crops = P.normalize_clip(crops, dtype)
     emb = C.image_encoder_surgery(params, crops, masks, config)

@@ -412,7 +412,31 @@ def _resize_one(
     wx: jax.Array,  # (OW, PW)
     wy: jax.Array,  # (OH, PH)
     skip_round: bool,
+    compute_dtype=None,
 ) -> jax.Array:
+    if compute_dtype is not None:
+        # Fast path for low-precision encoders: pixel values are exact
+        # in bf16 (integers <= 255) and the per-pass round_u8 keeps them
+        # integral, so the only inexactness is the ~0.4% rounding of the
+        # resample weights — the same order as PIL's own per-pass uint8
+        # rounding, and far below the encoder's bf16 activation noise.
+        # Single-pass MXU matmuls with fp32 accumulation instead of the
+        # multi-pass fp32 emulation of Precision.HIGHEST.
+        wx = wx.astype(compute_dtype)
+        wy = wy.astype(compute_dtype)
+        t = jnp.einsum(
+            'ow,hwc->hoc', wx, image.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if not skip_round:
+            t = round_u8(t)
+        out = jnp.einsum(
+            'eh,hoc->eoc', wy, t.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if not skip_round:
+            out = round_u8(out)
+        return out
     hi = jax.lax.Precision.HIGHEST
     # Horizontal pass: contract over image columns.
     t = jnp.einsum('ow,hwc->hoc', wx, image, precision=hi)
@@ -425,12 +449,15 @@ def _resize_one(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=('skip_round',))
+@functools.partial(
+    jax.jit, static_argnames=('skip_round', 'compute_dtype')
+)
 def apply_resize_pair(
     image: jax.Array,
     wx: jax.Array,
     wy: jax.Array,
     skip_round: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Two-pass PIL resize on device (weights from the builders above).
 
@@ -443,9 +470,13 @@ def apply_resize_pair(
       (paired batches — the globals pipeline)
 
     Values are rounded to uint8 range per pass like PIL's 8-bit path
-    (unless ``skip_round``).
+    (unless ``skip_round``). ``compute_dtype`` (e.g. ``jnp.bfloat16``)
+    selects the single-pass MXU fast path for low-precision encoders —
+    see :func:`_resize_one`.
     """
-    fn = functools.partial(_resize_one, skip_round=skip_round)
+    fn = functools.partial(
+        _resize_one, skip_round=skip_round, compute_dtype=compute_dtype
+    )
     if image.ndim == 3 and wx.ndim == 2:
         return fn(image, wx, wy)
     if image.ndim == 3 and wx.ndim == 3:
@@ -484,6 +515,7 @@ def apply_resize_coeffs(
     wy_w: jax.Array,
     wy_start: jax.Array,
     skip_round: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """:func:`apply_resize_pair` from compact per-crop coefficients.
 
@@ -491,9 +523,16 @@ def apply_resize_coeffs(
     ``(B, PH, PW, 3)`` paired with batched coefficients.
     """
     pad_h, pad_w = image.shape[-3], image.shape[-2]
+    if compute_dtype is not None:
+        # expand in the compute dtype: halves the write+read traffic of
+        # the dense (B, 224, pad) matrices, the dominant preprocess cost
+        wx_w = wx_w.astype(compute_dtype)
+        wy_w = wy_w.astype(compute_dtype)
     wx = expand_coeffs(wx_w, wx_start, pad_w)
     wy = expand_coeffs(wy_w, wy_start, pad_h)
-    return apply_resize_pair(image, wx, wy, skip_round=skip_round)
+    return apply_resize_pair(
+        image, wx, wy, skip_round=skip_round, compute_dtype=compute_dtype
+    )
 
 
 _MEAN = np.asarray(CLIP_MEAN, np.float32) * 255.0

@@ -228,3 +228,41 @@ def test_device_grid_mask_matches_host():
         grid,
     ))
     np.testing.assert_array_equal(dev, host)
+
+
+def test_bf16_fast_path_deviation_bound(image):
+    """The single-pass bf16 resize (compute_dtype=bfloat16 — the TPU
+    production path for bf16 encoders) must stay within 2 pixel values
+    of the PIL-bit-faithful fp32 path: pixel integers are exact in
+    bf16 and per-pass round_u8 re-integerizes, so the only error is the
+    ~0.4% bf16 rounding of resample weights (<=1 per pass)."""
+    import jax.numpy as jnp
+
+    h, w = image.shape[:2]
+    pad = 640
+    rng = np.random.RandomState(3)
+    n = 16
+    sides = rng.uniform(24, 300, n)
+    x0 = rng.uniform(0, w - 24, n)
+    y0 = rng.uniform(0, h - 24, n)
+    boxes = np.stack([x0, y0, x0 + sides, y0 + sides], -1)
+    meta = pp.clip_transform_meta(w, h, boxes)
+    K = 13
+    wx_w, wx_s, wy_w, wy_s = [
+        np.asarray(a) for a in pp.device_coeffs(jnp.asarray(meta), K)
+    ]
+    padded = np.zeros((pad, pad, 3), np.float32)
+    padded[:h, :w] = image
+
+    exact = np.asarray(pp.apply_resize_coeffs(
+        padded, wx_w, wx_s, wy_w, wy_s
+    ))
+    fast = np.asarray(pp.apply_resize_coeffs(
+        padded, wx_w, wx_s, wy_w, wy_s, compute_dtype=jnp.bfloat16
+    ))
+    diff = np.abs(exact - fast)
+    assert diff.max() <= 2.0, diff.max()
+    # measured ~83% bit-exact; the rest are +-1/2 rounding-tie flips,
+    # the same scale as PIL's own per-pass uint8 quantization
+    assert (diff == 0).mean() > 0.75, (diff == 0).mean()
+    assert (diff <= 1.0).mean() > 0.99, (diff <= 1.0).mean()

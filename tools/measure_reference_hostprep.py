@@ -99,6 +99,75 @@ def measure_ms_per_crop(n_crops: int = 512, pad: int = 640) -> float:
     return best / n_crops * 1000.0
 
 
+def measure_blocks_ms_per_image(
+    w: int = 640, h: int = 480, n_images: int = 8
+) -> float:
+    """ms/image of the reference BLOCKS host pipeline (its second CPU
+    hot loop, ``oadp/oake/blocks.py:54-77``): PIL pyramid downscales by
+    1.5x until < 224, a balanced 224-grid of crops per level (stride <=
+    112), CLIP preprocess per block, plus the whole-image preprocess."""
+    import PIL.Image
+    import torch
+
+    rng = np.random.default_rng(0)
+    image = PIL.Image.fromarray(
+        rng.integers(0, 256, (h, w, 3), np.uint8)
+    )
+    mean = (0.48145466, 0.4578275, 0.40821073)
+    std = (0.26862954, 0.26130258, 0.27577711)
+
+    def normalize(img):
+        t = torch.from_numpy(
+            np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+        )
+        m = torch.tensor(mean)[:, None, None]
+        s = torch.tensor(std)[:, None, None]
+        return (t - m) / s
+
+    def partition(size):  # balanced grid starts (blocks.py:40-52)
+        if size <= 224:
+            return [0]
+        n = -(-(size - 224) // 112) + 1
+        return [round(i * (size - 224) / (n - 1)) for i in range(n)]
+
+    def one_image(img):
+        blocks = []
+        lvl = img
+        while True:
+            lw, lh = lvl.size
+            for y in partition(lh):
+                for x in partition(lw):
+                    blocks.append(
+                        normalize(lvl.crop((x, y, x + 224, y + 224)))
+                    )
+            nw, nh = int(lw / 1.5), int(lh / 1.5)
+            if nw < 224 or nh < 224:
+                break
+            lvl = lvl.resize((nw, nh), PIL.Image.BICUBIC)
+        # whole-image first block: Resize(224) + CenterCrop + normalize
+        sw, sh = img.size
+        if sw <= sh:
+            ow, oh = 224, int(224 * sh / sw)
+        else:
+            ow, oh = int(224 * sw / sh), 224
+        whole = img.resize((ow, oh), PIL.Image.BICUBIC)
+        left = int(round((ow - 224) / 2.0))
+        top = int(round((oh - 224) / 2.0))
+        blocks.append(
+            normalize(whole.crop((left, top, left + 224, top + 224)))
+        )
+        return torch.stack(blocks)
+
+    one_image(image)  # warmup
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_images):
+            one_image(image)
+        best = min(best, time.perf_counter() - t0)
+    return best / n_images * 1000.0
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--crops', type=int, default=512)
