@@ -152,6 +152,65 @@ def bench_oake() -> dict:
     }
 
 
+def bench_blocks() -> dict:
+    """Blocks pipeline device step: the reference's second CPU hot loop
+    (``oadp/oake/blocks.py:54-77``, PIL pyramid + per-block preprocess)
+    redesigned as ONE jitted program (pyramid = weight-matrix resizes,
+    blocks = static slices, one ViT batch). Baseline: the measured
+    host-prep ceiling of the reference blocks loop on this host
+    (2 dataloader workers, ``configs/oake/base.py``)."""
+    import numpy as np
+
+    from oadp_tpu.oake.blocks import BlocksPipeline
+    from oadp_tpu.utils import Config
+
+    pipe = BlocksPipeline('bench_blocks', Config._wrap(dict(
+        model=dict(checkpoint=None, max_image_size=640),
+    )))
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 256, (480, 640, 3), np.uint8)
+    item = pipe.prepare(dict(
+        id=1, output=None, image=image, width=640, height=480
+    ))
+    bsz = pipe.device_batch
+
+    def run_batch():
+        return pipe.execute_batch([dict(item) for _ in range(bsz)])
+
+    def fin(recs):
+        return [pipe.finalize(dict(r)) for r in recs]
+
+    fin(run_batch())  # compile
+    fin(run_batch())  # warm
+    n = 4  # batches
+    t0 = time.perf_counter()
+    pending = run_batch()
+    for _ in range(n - 1):
+        nxt = run_batch()
+        fin(pending)
+        pending = nxt
+    fin(pending)
+    dt = time.perf_counter() - t0
+    imgs_per_sec = n * bsz / dt
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from tools.measure_reference_hostprep import (
+        measure_blocks_ms_per_image,
+    )
+    ms = measure_blocks_ms_per_image()
+    baseline = 2.0 / (ms / 1000.0)
+    return {
+        'metric': 'oake_blocks_images_per_sec_per_chip',
+        'value': round(imgs_per_sec, 3),
+        'unit': 'images/sec/chip (640x480: pyramid + ~25 block crops + '
+                'whole image, one device program)',
+        'vs_baseline': round(imgs_per_sec / baseline, 3),
+        'baseline': round(baseline, 3),
+        'baseline_kind': 'measured reference blocks host-prep ceiling '
+                         '(img/s/GPU, 2 workers)',
+    }
+
+
 def bench_dp_train() -> dict:
     import jax
     import jax.numpy as jnp
@@ -223,13 +282,16 @@ def main() -> None:
 
     enable_compilation_cache()
     print(json.dumps(bench_oake()), flush=True)
-    try:
-        print(json.dumps(bench_dp_train()), flush=True)
-    except Exception as e:  # secondary metric must not kill the primary
-        print(json.dumps({
-            'metric': 'dp_train_images_per_sec_per_chip',
-            'error': str(e)[:200],
-        }), flush=True)
+    for fn, metric in (
+        (bench_blocks, 'oake_blocks_images_per_sec_per_chip'),
+        (bench_dp_train, 'dp_train_images_per_sec_per_chip'),
+    ):
+        try:  # secondary metrics must not kill the primary
+            print(json.dumps(fn()), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                'metric': metric, 'error': str(e)[:200],
+            }), flush=True)
 
 
 if __name__ == '__main__':

@@ -31,6 +31,10 @@ class BlocksPipeline(BaseOakePipeline):
         self.rescale = float(self.config.get('rescale', 1.5))
         self.max_levels = int(self.config.get('max_levels', 6))
         self.max_blocks = int(self.config.get('max_blocks', 48))
+        # images per dispatch: the per-image program is tiny (~25 crops
+        # of 50 tokens) and dispatch-bound; the per-size constants are
+        # per-ITEM inputs so mixed sizes share one compiled program
+        self.device_batch = int(self.config.get('batch_size', 8))
 
     @functools.lru_cache(maxsize=64)
     def _size_constants(self, w: int, h: int):
@@ -78,12 +82,15 @@ class BlocksPipeline(BaseOakePipeline):
         return arrays, n_blocks, np.asarray(bboxes, np.float32)
 
     def prepare(self, item: dict[str, Any]) -> dict[str, Any]:
+        import jax
         w, h = item['width'], item['height']
         arrays, n_blocks, bboxes = self._size_constants(w, h)
         level_wx, level_wy, whole_wx, whole_wy, coords = arrays
         return dict(
             output=item['output'],
-            image=self._pad_image(item['image']),
+            # producer-thread upload (overlaps the previous image's
+            # device program; the size constants are already resident)
+            image=jax.device_put(self._pad_image(item['image'])),
             level_wx=level_wx,
             level_wy=level_wy,
             whole_wx=whole_wx,
@@ -94,27 +101,36 @@ class BlocksPipeline(BaseOakePipeline):
         )
 
     def execute_batch(self, prepared: list[dict[str, Any]]) -> list[Any]:
-        (item,) = prepared
+        import jax.numpy as jnp
+        n = len(prepared)
+        items = list(prepared)
+        items += [items[-1]] * (self.device_batch - n)  # pad: ignored
+
+        def stack(key):
+            return jnp.stack([it[key] for it in items])
+
         emb = self.steps.blocks_step(
-            item['image'],
-            item['level_wx'],
-            item['level_wy'],
-            item['whole_wx'],
-            item['whole_wy'],
-            item['coords'],
+            stack('image'), stack('level_wx'), stack('level_wy'),
+            stack('whole_wx'), stack('whole_wy'), stack('coords'),
         )
         return [
             dict(
                 _emb=emb,
+                _i=i,
                 _n=1 + item['n_blocks'],
                 bboxes=item['bboxes'].astype(np.float16),
             )
+            for i, item in enumerate(prepared)
         ]
 
     def finalize(self, record: dict[str, Any]) -> dict[str, Any]:
         emb = record.pop('_emb')
+        i = record.pop('_i')
         n = record.pop('_n')
-        record['embeddings'] = np.asarray(emb[:n]).astype(np.float16)
+        # fetch the FULL batch array (jax caches the host copy, so the
+        # other records of this batch hit the cache) and slice in
+        # numpy — a device-side slice would dispatch + fetch per record
+        record['embeddings'] = np.asarray(emb)[i, :n].astype(np.float16)
         return record
 
 

@@ -156,16 +156,17 @@ class OakeSteps:
 
     def blocks_step(
         self,
-        image: jax.Array,  # (PH, PW, 3) uint8
-        level_wx: jax.Array,  # (L, PW, PW) level k -> k+1 horizontal
-        level_wy: jax.Array,  # (L, PH, PH)
-        whole_wx: jax.Array,  # (224, PW)
-        whole_wy: jax.Array,  # (224, PH)
-        coords: jax.Array,  # (MAX_B, 3) int32: (level, y, x)
+        images: jax.Array,  # (B, PH, PW, 3) uint8
+        level_wx: jax.Array,  # (B, L, PW, PW) level k -> k+1 horizontal
+        level_wy: jax.Array,  # (B, L, PH, PH)
+        whole_wx: jax.Array,  # (B, 224, PW)
+        whole_wy: jax.Array,  # (B, 224, PH)
+        coords: jax.Array,  # (B, MAX_B, 3) int32: (level, y, x)
     ) -> jax.Array:
+        """→ ``(B, 1 + MAX_B, output_dim)`` fp16 embeddings."""
         return self._blocks(
             self.model.params,
-            image, level_wx, level_wy, whole_wx, whole_wy, coords,
+            images, level_wx, level_wy, whole_wx, whole_wy, coords,
         )
 
     def objects_step(
@@ -200,29 +201,48 @@ def _globals_fn(params, images, meta, *, config, dtype, k_pad):
 
 
 def _blocks_fn(
-    params, image, level_wx, level_wy, whole_wx, whole_wy, coords,
+    params, images, level_wx, level_wy, whole_wx, whole_wy, coords,
     *, config, dtype,
 ):
-    image = image.astype(jnp.float32)
+    """Batched across images: every input carries a leading ``B`` dim
+    (the per-size pyramid matrices and block coords are per-ITEM inputs,
+    so one compiled program serves arbitrary size mixes). Batching
+    amortizes the per-dispatch round trip — the blocks program is tiny
+    (~25 crops of 50 tokens) and was dispatch-bound one image at a
+    time."""
 
-    def scan_body(img, ws):
-        nxt = P.apply_resize_pair(img, ws[0], ws[1])
-        return nxt, nxt
+    cdt = _compute_dtype(dtype)
 
-    _, pyramid = jax.lax.scan(scan_body, image, (level_wx, level_wy))
-    levels = jnp.concatenate([image[None], pyramid], axis=0)
+    def crops_one(image, lwx, lwy, wwx, wwy, cds):
+        image = image.astype(jnp.float32)
 
-    def slice_block(c):
-        return jax.lax.dynamic_slice(
-            levels, (c[0], c[1], c[2], 0), (1, 224, 224, 3)
-        )[0]
+        def scan_body(img, ws):
+            nxt = P.apply_resize_pair(
+                img, ws[0], ws[1], compute_dtype=cdt
+            )
+            return nxt, nxt
 
-    blocks = jax.vmap(slice_block)(coords)
-    whole = P.apply_resize_pair(image, whole_wx, whole_wy)
-    crops = jnp.concatenate([whole[None], blocks], axis=0)
-    crops = P.normalize_clip(crops, dtype)
+        _, pyramid = jax.lax.scan(scan_body, image, (lwx, lwy))
+        levels = jnp.concatenate([image[None], pyramid], axis=0)
+
+        def slice_block(c):
+            return jax.lax.dynamic_slice(
+                levels, (c[0], c[1], c[2], 0), (1, 224, 224, 3)
+            )[0]
+
+        blocks = jax.vmap(slice_block)(cds)
+        whole = P.apply_resize_pair(image, wwx, wwy, compute_dtype=cdt)
+        return jnp.concatenate([whole[None], blocks], axis=0)
+
+    crops = jax.vmap(crops_one)(
+        images, level_wx, level_wy, whole_wx, whole_wy, coords
+    )  # (B, 1 + max_blocks, 224, 224, 3)
+    b, m = crops.shape[:2]
+    crops = P.normalize_clip(
+        crops.reshape(b * m, 224, 224, 3), dtype
+    )
     emb = C.image_encoder(params, crops, config)
-    return _l2_normalize(emb)
+    return _l2_normalize(emb).reshape(b, m, -1)
 
 
 def _objects_fn(params, image, meta, masks, *, config, dtype, k_pad):
