@@ -37,7 +37,8 @@ def main(argv=None) -> dict:
     if Store.DRY_RUN:
         config.validator.dataloader['samples_per_gpu'] = 1
 
-    from ..utils import enable_compilation_cache
+    from ..utils import enable_compilation_cache, maybe_initialize_distributed
+    maybe_initialize_distributed()  # reference NCCL init: oadp/dp/test.py:50-52
     enable_compilation_cache()
     Globals.categories = {'coco': coco, 'lvis': lvis}[config.categories]
     bundle = build_detector(config.model, Globals.categories)

@@ -228,6 +228,8 @@ def main(argv=None) -> None:
     config: Config = args.config
     if args.override:
         config.override(args.override)
+    from ..utils import maybe_initialize_distributed
+    maybe_initialize_distributed()  # reference: oadp/dp/test_nni.py:198-200
 
     params = dict(DEFAULT_PARAMS)
     try:  # optional NNI integration (reference uses nni trials)

@@ -151,7 +151,8 @@ def main(argv=None) -> None:
     config.dump(work_dir / 'config.py')
     add_file_handler(work_dir / 'train.log')
 
-    from ..utils import enable_compilation_cache
+    from ..utils import enable_compilation_cache, maybe_initialize_distributed
+    maybe_initialize_distributed()  # reference NCCL init: oadp/dp/train.py:61-63
     enable_compilation_cache()
     Globals.categories = {'coco': coco, 'lvis': lvis}[config.categories]
     logger.info('devices: %s', jax.devices())

@@ -282,7 +282,8 @@ class BaseOakePipeline(ABC):
         config: Config = args.config
         if args.override:
             config.override(args.override)
-        from ..utils import enable_compilation_cache
+        from ..utils import enable_compilation_cache, maybe_initialize_distributed
+        maybe_initialize_distributed()  # reference: oadp/oake/base.py:122-126
         enable_compilation_cache()
         pipeline = cls(args.name, config)
         pipeline.run()

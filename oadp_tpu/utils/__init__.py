@@ -1,4 +1,5 @@
 from .config import Config, DictAction, parse_override
+from .dist import maybe_initialize_distributed
 from .logging import (
     add_file_handler,
     enable_compilation_cache,
@@ -12,6 +13,7 @@ __all__ = [
     'Config',
     'DictAction',
     'parse_override',
+    'maybe_initialize_distributed',
     'add_file_handler',
     'enable_compilation_cache',
     'logger',

@@ -127,3 +127,24 @@ def test_build_annotations(tmp_path):
         (tmp_path / 'instances_val2017.65.min.json').read_text()
     )
     assert [i['id'] for i in minimal['images']] == [1, 2]  # img 3 empty
+
+
+def test_maybe_initialize_distributed_gated(monkeypatch):
+    """The jax.distributed init (reference NCCL init,
+    oadp/dp/train.py:61-63) is opt-in via OADP_DISTRIBUTED and
+    idempotent; single-process dev setups never touch it."""
+    from oadp_tpu.utils import dist
+
+    calls = []
+    monkeypatch.setattr(dist, '_initialized', False)
+    monkeypatch.delenv('OADP_DISTRIBUTED', raising=False)
+    assert dist.maybe_initialize_distributed() is False
+
+    import jax
+    monkeypatch.setenv('OADP_DISTRIBUTED', '1')
+    monkeypatch.setattr(
+        jax.distributed, 'initialize', lambda: calls.append(1)
+    )
+    assert dist.maybe_initialize_distributed() is True
+    assert dist.maybe_initialize_distributed() is True  # idempotent
+    assert calls == [1]
