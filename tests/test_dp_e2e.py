@@ -122,6 +122,29 @@ def test_train_cli_dry_run(in_workdir):
         assert key in log
 
 
+def test_vild_baseline_train_cli(in_workdir):
+    """The ViLD baseline (reference ``configs/dp/vild_ov_coco.py``):
+    with_global/with_block OFF and the vild classifier on all heads —
+    the detector's conditional branches that the OADP config never
+    runs."""
+    root, cfg, data = in_workdir
+    from oadp_tpu.dp import train as train_cli
+    train_cli.main([
+        'e2e_vild', str(cfg),
+        '--override',
+        '.trainer.runner.max_iters:3',
+        '.model.with_global:0',
+        '.model.with_block:0',
+        '.model.head_cls_mode:vild',
+    ])
+    log = (
+        root / 'work_dirs' / 'dry_run' / 'e2e_vild' / 'train.log'
+    ).read_text()
+    assert 'iter 3/3' in log
+    assert 'loss_clip_objects' in log
+    assert 'loss_block' not in log and 'loss_global' not in log
+
+
 def test_test_cli_metrics(in_workdir):
     root, cfg, data = in_workdir
     from oadp_tpu.dp import test as test_cli
