@@ -101,17 +101,19 @@ class BlocksPipeline(BaseOakePipeline):
         )
 
     def execute_batch(self, prepared: list[dict[str, Any]]) -> list[Any]:
-        import jax.numpy as jnp
         n = len(prepared)
         items = list(prepared)
         items += [items[-1]] * (self.device_batch - n)  # pad: ignored
 
-        def stack(key):
-            return jnp.stack([it[key] for it in items])
+        def gather(key):
+            # per-item LISTS: blocks_step stacks them inside the jitted
+            # program — one dispatch per batch instead of one eager
+            # jnp.stack dispatch per argument
+            return [it[key] for it in items]
 
         emb = self.steps.blocks_step(
-            stack('image'), stack('level_wx'), stack('level_wy'),
-            stack('whole_wx'), stack('whole_wy'), stack('coords'),
+            gather('image'), gather('level_wx'), gather('level_wy'),
+            gather('whole_wx'), gather('whole_wy'), gather('coords'),
         )
         return [
             dict(

@@ -42,7 +42,6 @@ class GlobalsPipeline(BaseOakePipeline):
         )
 
     def execute_batch(self, prepared: list[dict[str, Any]]) -> list[Any]:
-        import jax.numpy as jnp
         n = len(prepared)
         b = bucket(n, (self.device_batch,))
         # identity-crop meta for padding rows
@@ -57,7 +56,9 @@ class GlobalsPipeline(BaseOakePipeline):
         k = bucket(
             max(item['ksize'] for item in prepared), (5, 9, 13, 21)
         )
-        emb = self.steps.globals_step(jnp.stack(imgs), meta, k)
+        # list of per-image arrays: stacked INSIDE the jitted program
+        # (one dispatch per batch, see OakeSteps.blocks_step docstring)
+        emb = self.steps.globals_step(imgs, meta, k)
         return [(emb, i) for i in range(n)]
 
     def finalize(self, record) -> np.ndarray:
