@@ -76,7 +76,9 @@ def bench_oake() -> dict:
     rng = np.random.default_rng(0)
     image = rng.integers(0, 256, (pad, pad, 3), np.uint8)
     g = model.grid
-    masks = (rng.random((mini, g, g)) > 0.5).astype(np.float32)
+    # uint8 masks, as ObjectsPipeline.prepare ships them (4x fewer
+    # transfer bytes; cast on device)
+    masks = (rng.random((mini, g, g)) > 0.5).astype(np.uint8)
 
     # Synthetic square proposals with realistic size spread, preprocessed
     # exactly as the objects pipeline does (per-crop scalar meta; tap
@@ -105,6 +107,17 @@ def bench_oake() -> dict:
     )
     gk = bucket(int((2 * np.ceil(2.0 * gscale) + 1).max()), k_buckets)
     gimages = np.broadcast_to(image, (gbatch, pad, pad, 3))
+
+    # Ship the inputs to the device up front — the production pipelines
+    # `jax.device_put` in the PRODUCER thread (ObjectsPipeline.prepare),
+    # so per-image uploads (~2 MB, tens of ms on a tunneled transport)
+    # overlap the previous image's encoder instead of riding the
+    # dispatch path. The bench models that overlap; the REAL loops incl.
+    # uploads are measured by tools/measure_e2e_oake.py.
+    image, meta, masks, gimages, gmeta = jax.device_put(
+        (image, meta, masks, np.ascontiguousarray(gimages), gmeta),
+        device,
+    )
 
     def objects_one():
         return steps.objects_step(image, meta, masks, k)
