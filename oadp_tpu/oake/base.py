@@ -55,6 +55,11 @@ class CocoImageSet:
         self.ids: list[int] = sorted(self._images)
         self.unsorted_ids: list[int] = [img['id'] for img in data['images']]
 
+    def size(self, id_: int) -> tuple[int, int]:
+        """(width, height) from the annotation index — no decode."""
+        info = self._images[id_]
+        return int(info['width']), int(info['height'])
+
     def path(self, id_: int) -> pathlib.Path:
         info = self._images[id_]
         if self._lvis:
@@ -146,6 +151,13 @@ class BaseOakePipeline(ABC):
             ids = ids[:3]
         import jax
         ids = ids[jax.process_index()::jax.process_count()]
+        # Group this process's shard by image size (stable, id-tiebroken):
+        # outputs are per-image files so order is free, and size-grouping
+        # makes per-size device constants (blocks' pyramid matrices,
+        # ~20 MB per distinct size) LRU-perfect and device batches
+        # homogeneous. The reference iterates dataset order
+        # (oadp/oake/base.py:84-88) but its outputs are order-free too.
+        ids = sorted(ids, key=lambda i: (*dataset.size(i), i))
         for id_ in ids:
             output = output_dir / f'{id_:012d}.pth'
             if output.exists():
@@ -206,35 +218,65 @@ class BaseOakePipeline(ABC):
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
         buffer: list[dict[str, Any]] = []
-        # one-batch save delay: the device computes batch i+1 while the
-        # host materializes + writes batch i (device dispatch is async)
-        pending: tuple[list, list] | None = None
 
-        def drain_pending():
-            nonlocal pending, done
-            if pending is None:
-                return
-            items, records = pending
-            pending = None
-            for item, record in zip(items, records):
-                save_pth(self.finalize(record), item['output'])
-            done += len(items)
-            if done % self.log_interval < self.device_batch:
-                rate = done / (time.time() - start)
-                logger.info(
-                    '[%s] %d images, %.2f img/s', self.name, done, rate
-                )
+        # Saver thread: materializing a record (device->host fetch) and
+        # writing the .pth both block — on a tunneled/remote backend the
+        # fetch alone is a full transport round trip. Running saves on
+        # their own thread overlaps them with the NEXT batch's dispatch
+        # round trip (device dispatch is async, so device compute
+        # already overlapped; this hides the host-side latency too).
+        # ``inflight`` bounds how many dispatched-unsaved batches exist,
+        # which also bounds device-buffer lifetime.
+        inflight = max(1, int(self.config.get('inflight', 2)))
+        save_queue: 'queue_mod.Queue' = queue_mod.Queue(maxsize=inflight)
+        save_error: list[BaseException] = []
+
+        def save_loop():
+            nonlocal done
+            while True:
+                entry = save_queue.get()
+                if entry is sentinel:
+                    return
+                try:
+                    items, records = entry
+                    for item, record in zip(items, records):
+                        save_pth(self.finalize(record), item['output'])
+                    done += len(items)
+                    if done % self.log_interval < self.device_batch:
+                        rate = done / (time.time() - start)
+                        logger.info(
+                            '[%s] %d images, %.2f img/s',
+                            self.name, done, rate,
+                        )
+                except BaseException as e:
+                    save_error.append(e)
+                    return
+
+        saver = threading.Thread(target=save_loop, daemon=True)
+        saver.start()
+
+        def enqueue_save(entry):
+            # never block forever on a saver that died: surface its
+            # exception instead
+            while True:
+                if save_error:
+                    raise save_error[0]
+                try:
+                    save_queue.put(entry, timeout=5)
+                    return
+                except queue_mod.Full:
+                    continue
 
         def flush():
-            nonlocal pending
             if not buffer:
                 return
             records = self.execute_batch(buffer)
-            new_pending = (list(buffer), records)
+            enqueue_save((list(buffer), records))
             buffer.clear()
-            drain_pending()
-            pending = new_pending
 
+        # On any exception below, the daemon threads are simply
+        # abandoned (the producer may be blocked on a full queue —
+        # joining it would hang); the joins run only on the clean path.
         while True:
             prepared = queue.get()
             if prepared is sentinel:
@@ -247,8 +289,11 @@ class BaseOakePipeline(ABC):
             if len(buffer) >= self.device_batch:
                 flush()
         flush()
-        drain_pending()
+        enqueue_save(sentinel)
+        saver.join()
         producer.join()
+        if save_error:
+            raise save_error[0]
         if profile_dir:
             import jax
             jax.profiler.stop_trace()
