@@ -430,6 +430,7 @@ def image_encoder_surgery(
     # Reference appends a zero column for y itself
     # (``oadp/oake/objects.py:209-213``).
     from ..ops.attention import (
+        fused_ln_mlp_rows,
         fused_side_attention,
         fused_side_attention_supported,
         fused_surgery_layer,
@@ -472,13 +473,24 @@ def image_encoder_surgery(
                 side = fused_surgery_layer(
                     *args, with_main=False, interpret=interpret_fused
                 )
+                y_row = y[:, 0] + (side @ attn['out_w'] + attn['out_b'])
             else:
-                main, side = fused_surgery_layer(
-                    *args, with_main=True, interpret=interpret_fused
+                # out-projection + both residual adds folded into the
+                # kernel: x/y come back post-residual (see
+                # ops/attention.fused_surgery_layer)
+                x, y_row = fused_surgery_layer(
+                    *args, with_main=True, interpret=interpret_fused,
+                    out_w=attn['out_w'], out_b=attn['out_b'],
                 )
-                x = x + (main @ attn['out_w'] + attn['out_b'])
-            y = y + (side[:, None] @ attn['out_w'] + attn['out_b'])
-            y = y + _mlp(_layer_norm(y, block['ln_2']), block['mlp'])
+            # side-stream LN+MLP as one kernel: ~8 tiny XLA ops per
+            # layer otherwise (~0.6 ms/layer of launch latency)
+            y = fused_ln_mlp_rows(
+                y_row,
+                block['ln_2']['scale'], block['ln_2']['bias'],
+                block['mlp']['fc_w'], block['mlp']['fc_b'],
+                block['mlp']['proj_w'], block['mlp']['proj_b'],
+                interpret=interpret_fused,
+            )[:, None]
             if not last:
                 x = x + _mlp(_layer_norm(x, block['ln_2']), block['mlp'])
             continue

@@ -17,6 +17,8 @@ running on TPU; a jnp fallback keeps CPU tests exact.
 """
 
 __all__ = [
+    'fused_ln_mlp_rows',
+    'fused_ln_mlp_rows_supported',
     'fused_ln_qkv_attention',
     'fused_ln_qkv_attention_supported',
     'fused_mha_qkv',
@@ -286,13 +288,18 @@ def fused_ln_qkv_attention_supported(heads: int, head_dim: int) -> bool:
 
 
 def _surgery_layer_kernel(
-    x_ref, y_ref, bias_ref, s_ref, t_ref, w_ref, b_ref, *out_refs,
+    x_ref, y_ref, bias_ref, s_ref, t_ref, w_ref, b_ref, *refs,
     heads: int, scale: float, batch_per_block: int, with_main: bool,
+    fold_out: bool,
 ):
     d = x_ref.shape[-1]
     hd = d // heads
     n = x_ref.shape[1]
     fold_scale = scale > 0 and math.log2(scale).is_integer()
+    if fold_out:
+        ow_ref, ob_ref, *out_refs = refs
+    else:
+        out_refs = refs
     if with_main:
         mo_ref, so_ref = out_refs
     else:
@@ -319,6 +326,7 @@ def _surgery_layer_kernel(
         k = qkv[:, d:2 * d]
         v = qkv[:, 2 * d:]
 
+        main_heads = []
         if with_main:
             for hh in range(heads):
                 sl = slice(hh * hd, (hh + 1) * hd)
@@ -337,11 +345,14 @@ def _surgery_layer_kernel(
                     e.astype(v.dtype), v[:, sl],
                     preferred_element_type=jnp.float32,
                 )
-                mo_ref[bi, :, sl] = (
-                    o / e.sum(-1, keepdims=True)
-                ).astype(mo_ref.dtype)
+                o = (o / e.sum(-1, keepdims=True)).astype(x_ref.dtype)
+                if fold_out:
+                    main_heads.append(o)
+                else:
+                    mo_ref[bi, :, sl] = o.astype(mo_ref.dtype)
 
         # side attention: one query over [patches (k rows 1:), y itself]
+        side_heads = []
         bias_p = bias_ref[bi][:, :n - 1]
         bias_y = bias_ref[bi][:, n - 1:n]
         for hh in range(heads):
@@ -372,8 +383,36 @@ def _surgery_layer_kernel(
                 e.astype(vp.dtype), vp, preferred_element_type=jnp.float32
             )
             o = o + ey * vy.astype(jnp.float32)
-            so_ref[bi, :, sl] = (
-                o / (e.sum(-1, keepdims=True) + ey)
+            o = (o / (e.sum(-1, keepdims=True) + ey)).astype(x_ref.dtype)
+            if fold_out:
+                side_heads.append(o)
+            else:
+                so_ref[bi, :, sl] = o.astype(so_ref.dtype)
+
+        if fold_out:
+            # out-projection + residual IN-KERNEL: the attention part is
+            # MXU-issue-bound with idle MXU slots, so the extra
+            # (n+1, D)x(D, D) GEMM is nearly free (measured: the 3x
+            # bigger QKV GEMM adds ~2 ms to the bare kernel), while the
+            # separate XLA out-proj step's read of attn_out + x and its
+            # write of x' (~930 MB/layer at the OAKE batch) disappear.
+            # The side row rides the same GEMM as row n (a standalone
+            # (1, D) matmul trips Mosaic layout checks).
+            attn_all = jnp.concatenate(
+                [
+                    jnp.concatenate(main_heads, axis=-1),  # (n, d)
+                    jnp.concatenate(side_heads, axis=-1),  # (1, d)
+                ],
+                axis=0,
+            )
+            proj = jax.lax.dot(
+                attn_all, ow_ref[...], preferred_element_type=jnp.float32,
+            ) + ob_ref[...].astype(jnp.float32)
+            mo_ref[bi] = (
+                x_ref[bi].astype(jnp.float32) + proj[:n]
+            ).astype(mo_ref.dtype)
+            so_ref[bi] = (
+                y_ref[bi].astype(jnp.float32) + proj[n:]
             ).astype(so_ref.dtype)
 
 
@@ -396,6 +435,8 @@ def fused_surgery_layer(
     with_main: bool = True,
     interpret: bool = False,
     block_batch: int | None = None,
+    out_w: jax.Array | None = None,  # (D, D): fold out-proj + residual
+    out_b: jax.Array | None = None,  # (D,)
 ):
     """One OAKE-surgery transformer layer's attention in ONE kernel.
 
@@ -411,8 +452,16 @@ def fused_surgery_layer(
     ``side_out`` when ``with_main=False`` (the final block, whose main
     stream is discarded so its attention/out-proj/MLP are skipped;
     reference ``oadp/oake/objects.py:249-258``).
+
+    With ``out_w``/``out_b`` (requires ``with_main``), the attention
+    out-projection AND both residual adds are folded in too, and the
+    returns become the post-residual streams
+    ``(x + attn @ out_w + out_b, y + side @ out_w + out_b)`` — see the
+    kernel comment for the HBM accounting.
     """
     b, n, d = x.shape
+    fold_out = out_w is not None
+    assert not fold_out or with_main, 'fold_out requires the main stream'
     bb = block_batch or (2 if b % 2 == 0 else 1)
     assert b % bb == 0, (b, bb)
     row = lambda cols: pl.BlockSpec(  # noqa: E731
@@ -434,32 +483,17 @@ def fused_surgery_layer(
         out_specs.append(blk(d))
     out_shapes.append(jax.ShapeDtypeStruct((b, 1, d), x.dtype))
     out_specs.append(brow(d))
-    out = pl.pallas_call(
-        functools.partial(
-            _surgery_layer_kernel, heads=heads, scale=scale,
-            batch_per_block=bb, with_main=with_main,
+    in_specs = [
+        blk(d),
+        brow(d),
+        brow(n),
+        row(d), row(d),
+        pl.BlockSpec(
+            (d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        grid=(b // bb,),
-        in_specs=[
-            blk(d),
-            brow(d),
-            brow(n),
-            row(d), row(d),
-            pl.BlockSpec(
-                (d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-            row(3 * d),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * d * 3 * d
-            + 2 * b * heads * n * n * (d // heads) * 2,
-            bytes_accessed=2 * b * n * d * x.dtype.itemsize,
-            transcendentals=b * heads * n * (n + 1),
-        ),
-        interpret=interpret,
-    )(
+        row(3 * d),
+    ]
+    args = [
         x,
         y.reshape(b, 1, d),
         bias.reshape(b, 1, n),
@@ -467,7 +501,32 @@ def fused_surgery_layer(
         ln_bias.astype(jnp.float32).reshape(1, d),
         qkv_w,
         qkv_b.reshape(1, 3 * d),
-    )
+    ]
+    if fold_out:
+        in_specs.append(pl.BlockSpec(
+            (d, d), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ))
+        in_specs.append(row(d))
+        args.append(out_w)
+        args.append(out_b.reshape(1, d))
+    out = pl.pallas_call(
+        functools.partial(
+            _surgery_layer_kernel, heads=heads, scale=scale,
+            batch_per_block=bb, with_main=with_main, fold_out=fold_out,
+        ),
+        grid=(b // bb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d * 3 * d
+            + 2 * b * heads * n * n * (d // heads) * 2
+            + (2 * b * (n + 1) * d * d if fold_out else 0),
+            bytes_accessed=2 * b * n * d * x.dtype.itemsize,
+            transcendentals=b * heads * n * (n + 1),
+        ),
+        interpret=interpret,
+    )(*args)
     if with_main:
         return out[0], out[1][:, 0]
     return out[0][:, 0]
@@ -584,3 +643,90 @@ def fused_side_attention(
 
 def fused_side_attention_supported(heads: int, head_dim: int) -> bool:
     return supports_fused_mha() and (heads * head_dim) % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# Row-stream LN + MLP kernel (side-stream per-layer small ops)
+# ---------------------------------------------------------------------------
+
+
+def _row_mlp_kernel(
+    y_ref, s_ref, t_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+):
+    y = y_ref[...].astype(jnp.float32)
+    mean = y.mean(-1, keepdims=True)
+    var = jnp.square(y - mean).mean(-1, keepdims=True)
+    ln = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    ln = (ln * s_ref[...] + t_ref[...]).astype(y_ref.dtype)
+    h = jax.lax.dot(
+        ln, w1_ref[...], preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    h = (h * jax.nn.sigmoid(1.702 * h)).astype(y_ref.dtype)  # quick gelu
+    o = jax.lax.dot(
+        h, w2_ref[...], preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = (y + o).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def fused_ln_mlp_rows(
+    y: jax.Array,  # (B, D) rows
+    ln_scale: jax.Array,  # (D,)
+    ln_bias: jax.Array,  # (D,)
+    fc_w: jax.Array,  # (D, 4D)
+    fc_b: jax.Array,  # (4D,)
+    proj_w: jax.Array,  # (4D, D)
+    proj_b: jax.Array,  # (D,)
+    interpret: bool = False,
+) -> jax.Array:
+    """``y + mlp(layer_norm(y))`` for a 2-D row batch in ONE kernel.
+
+    The surgery side stream runs a per-layer LN+MLP on ``(B, D)`` rows —
+    trivial FLOPs, but as ~8 separate XLA ops it costs ~0.6 ms/layer in
+    launch latency at the OAKE batch (measured ~7 ms/image total). One
+    Pallas kernel per layer keeps the whole residual update in VMEM.
+    """
+    b, d = y.shape
+    rows = 256
+    while b % rows:
+        rows //= 2
+    row = lambda cols: pl.BlockSpec(  # noqa: E731
+        (1, cols), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    mat = lambda r, c: pl.BlockSpec(  # noqa: E731
+        (r, c), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _row_mlp_kernel,
+        grid=(b // rows,),
+        in_specs=[
+            pl.BlockSpec(
+                (rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            row(d), row(d),
+            mat(d, fc_w.shape[1]), row(fc_w.shape[1]),
+            mat(proj_w.shape[0], d), row(d),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, d), y.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * d * fc_w.shape[1],
+            bytes_accessed=2 * b * d * y.dtype.itemsize,
+            transcendentals=b * fc_w.shape[1],
+        ),
+        interpret=interpret,
+    )(
+        y,
+        ln_scale.astype(jnp.float32).reshape(1, d),
+        ln_bias.astype(jnp.float32).reshape(1, d),
+        fc_w,
+        fc_b.reshape(1, -1),
+        proj_w,
+        proj_b.reshape(1, d),
+    )
+
+
+def fused_ln_mlp_rows_supported(rows: int, width: int) -> bool:
+    return supports_fused_mha() and width % 128 == 0 and rows % 8 == 0
