@@ -18,7 +18,7 @@ from typing import Any
 import numpy as np
 
 from ..ops import preprocess as P
-from .base import BaseOakePipeline
+from .base import BaseOakePipeline, bucket
 from .partitions import first_block_bbox, plan_blocks
 
 
@@ -34,7 +34,17 @@ class BlocksPipeline(BaseOakePipeline):
         # images per dispatch: the per-image program is tiny (~25 crops
         # of 50 tokens) and dispatch-bound; the per-size constants are
         # per-ITEM inputs so mixed sizes share one compiled program
-        self.device_batch = int(self.config.get('batch_size', 8))
+        # 24 images/dispatch: the per-crop programs are tiny (50-token
+        # ViT forwards) so per-dispatch overhead is a real fraction of
+        # the batch; measured 219 -> 305+ img/s going 8 -> 24 on v5e
+        self.device_batch = int(self.config.get('batch_size', 24))
+        # flat-block bucket sizes (one compilation each); COCO batches
+        # of 24 landscape/portrait images land in the 576-768 range
+        self.block_buckets = tuple(self.config.get(
+            'block_buckets',
+            (16, 32, 64, 96, 128, 160, 192, 224, 256, 320, 384,
+             448, 512, 576, 640, 704, 768, 896, 1024, 1152),
+        ))
 
     @functools.lru_cache(maxsize=64)
     def _size_constants(self, w: int, h: int):
@@ -69,23 +79,26 @@ class BlocksPipeline(BaseOakePipeline):
             level_wx[k, :w1] = mx
             level_wy[k, :h1] = my
 
-        coords = np.zeros((self.max_blocks, 3), np.int32)
-        if n_blocks:
-            coords[:n_blocks] = [(lv, y, x) for lv, x, y in plan.blocks]
+        # host-side (level, y, x) per real block: flattened across the
+        # batch (with an image index) at execute time, so the ViT batch
+        # carries no per-image max_blocks padding
+        coords = np.asarray(
+            [(lv, y, x) for lv, x, y in plan.blocks], np.int32
+        ).reshape(n_blocks, 3)
 
         whole_wx, whole_wy = P.clip_transform_matrices(w, h, None, pad, pad)
         bboxes = [first_block_bbox(w, h)] + plan.bboxes
         device = jax.devices()[0]
         arrays = jax.device_put(
-            (level_wx, level_wy, whole_wx, whole_wy, coords), device
+            (level_wx, level_wy, whole_wx, whole_wy), device
         )
-        return arrays, n_blocks, np.asarray(bboxes, np.float32)
+        return arrays, coords, np.asarray(bboxes, np.float32)
 
     def prepare(self, item: dict[str, Any]) -> dict[str, Any]:
         import jax
         w, h = item['width'], item['height']
-        arrays, n_blocks, bboxes = self._size_constants(w, h)
-        level_wx, level_wy, whole_wx, whole_wy, coords = arrays
+        arrays, coords, bboxes = self._size_constants(w, h)
+        level_wx, level_wy, whole_wx, whole_wy = arrays
         return dict(
             output=item['output'],
             # producer-thread upload (overlaps the previous image's
@@ -95,15 +108,19 @@ class BlocksPipeline(BaseOakePipeline):
             level_wy=level_wy,
             whole_wx=whole_wx,
             whole_wy=whole_wy,
-            coords=coords,
-            n_blocks=n_blocks,
+            coords=coords,  # host (n_blocks, 3) int32 (level, y, x)
             bboxes=bboxes,
         )
 
     def execute_batch(self, prepared: list[dict[str, Any]]) -> list[Any]:
         n = len(prepared)
+        # pad the image count to a BUCKET, not straight to device_batch:
+        # a DRY_RUN/tail batch of 3 images must not pay the full-batch
+        # pyramid (24 x 7 x pad^2 levels) — one extra compilation per
+        # bucket instead
+        b_pad = min(self.device_batch, bucket(n, (1, 2, 4, 8, 16)))
         items = list(prepared)
-        items += [items[-1]] * (self.device_batch - n)  # pad: ignored
+        items += [items[-1]] * (b_pad - n)  # pad: ignored
 
         def gather(key):
             # per-item LISTS: blocks_step stacks them inside the jitted
@@ -111,15 +128,30 @@ class BlocksPipeline(BaseOakePipeline):
             # jnp.stack dispatch per argument
             return [it[key] for it in items]
 
+        # Flat block list across the batch, bucketed so the ViT encodes
+        # ~the real crop count instead of B * max_blocks padded rows
+        # (real images have ~28 blocks vs the 48 worst-case at 640x640).
+        offsets, flat = [], []
+        for item in prepared:
+            offsets.append(sum(len(f) for f in flat))
+            c = item['coords']
+            img_col = np.full((len(c), 1), len(flat), np.int32)
+            flat.append(np.concatenate([img_col, c], axis=1))
+        total = offsets[-1] + len(flat[-1]) if flat else 0
+        t_pad = bucket(total, self.block_buckets)
+        pad_rows = np.zeros((t_pad - total, 4), np.int32)
+        coords = np.concatenate(flat + [pad_rows], axis=0)
+
         emb = self.steps.blocks_step(
             gather('image'), gather('level_wx'), gather('level_wy'),
-            gather('whole_wx'), gather('whole_wy'), gather('coords'),
+            gather('whole_wx'), gather('whole_wy'), coords,
         )
         return [
             dict(
                 _emb=emb,
                 _i=i,
-                _n=1 + item['n_blocks'],
+                _off=b_pad + offsets[i],
+                _n=len(item['coords']),
                 bboxes=item['bboxes'].astype(np.float16),
             )
             for i, item in enumerate(prepared)
@@ -128,11 +160,15 @@ class BlocksPipeline(BaseOakePipeline):
     def finalize(self, record: dict[str, Any]) -> dict[str, Any]:
         emb = record.pop('_emb')
         i = record.pop('_i')
+        off = record.pop('_off')
         n = record.pop('_n')
         # fetch the FULL batch array (jax caches the host copy, so the
         # other records of this batch hit the cache) and slice in
         # numpy — a device-side slice would dispatch + fetch per record
-        record['embeddings'] = np.asarray(emb)[i, :n].astype(np.float16)
+        emb = np.asarray(emb)
+        record['embeddings'] = np.concatenate(
+            [emb[i:i + 1], emb[off:off + n]], axis=0
+        ).astype(np.float16)
         return record
 
 

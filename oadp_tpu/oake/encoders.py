@@ -161,15 +161,22 @@ class OakeSteps:
         level_wy,  # (B, L, PH, PH), or list
         whole_wx,  # (B, 224, PW), or list
         whole_wy,  # (B, 224, PH), or list
-        coords,  # (B, MAX_B, 3) int32: (level, y, x), or list
+        coords,  # (T, 4) int32: (image, level, y, x) — flat over batch
     ) -> jax.Array:
-        """→ ``(B, 1 + MAX_B, output_dim)`` fp16 embeddings.
+        """→ ``(B + T, output_dim)`` fp16 embeddings: the B whole-image
+        rows first, then the T flat block rows.
 
         Every per-item argument may be a LIST of per-image arrays: jit
         treats fixed-length lists as pytrees and the stack happens
         inside the compiled program — one dispatch per batch instead of
         one eager ``jnp.stack`` dispatch per argument (~3 ms each over
-        the remote-dispatch transport)."""
+        the remote-dispatch transport).
+
+        The block coordinates are FLAT across the batch and bucketed
+        (``T`` static per bucket): padding each image to ``max_blocks``
+        would make the ViT encode ~2x the real crop count (48 padded vs
+        ~28 real blocks at 640x480), and the encoder is the dominant
+        term of the program."""
         return self._blocks(
             self.model.params,
             images, level_wx, level_wy, whole_wx, whole_wy, coords,
@@ -217,20 +224,24 @@ def _blocks_fn(
     params, images, level_wx, level_wy, whole_wx, whole_wy, coords,
     *, config, dtype,
 ):
-    """Batched across images: every input carries a leading ``B`` dim
-    (the per-size pyramid matrices and block coords are per-ITEM inputs,
-    so one compiled program serves arbitrary size mixes). Batching
-    amortizes the per-dispatch round trip — the blocks program is tiny
-    (~25 crops of 50 tokens) and was dispatch-bound one image at a
-    time."""
+    """Batched across images: every per-image input carries a leading
+    ``B`` dim (the per-size pyramid matrices are per-ITEM inputs, so one
+    compiled program serves arbitrary size mixes). Batching amortizes
+    the per-dispatch round trip — the blocks program is tiny (~25 crops
+    of 50 tokens) and was dispatch-bound one image at a time.
 
-    images, level_wx, level_wy, whole_wx, whole_wy, coords = (
+    ``coords`` is the FLAT ``(T, 4)`` block list (image, level, y, x)
+    across the whole batch, bucketed by the caller: the ViT batch is
+    ``B`` whole images + exactly ``T`` blocks, not ``B * max_blocks``
+    padded rows. Returns ``(B + T, output_dim)``, wholes first."""
+
+    images, level_wx, level_wy, whole_wx, whole_wy = (
         _stacked(a)
-        for a in (images, level_wx, level_wy, whole_wx, whole_wy, coords)
+        for a in (images, level_wx, level_wy, whole_wx, whole_wy)
     )
     cdt = _compute_dtype(dtype)
 
-    def crops_one(image, lwx, lwy, wwx, wwy, cds):
+    def levels_one(image, lwx, lwy, wwx, wwy):
         image = image.astype(jnp.float32)
 
         def scan_body(img, ws):
@@ -241,25 +252,23 @@ def _blocks_fn(
 
         _, pyramid = jax.lax.scan(scan_body, image, (lwx, lwy))
         levels = jnp.concatenate([image[None], pyramid], axis=0)
-
-        def slice_block(c):
-            return jax.lax.dynamic_slice(
-                levels, (c[0], c[1], c[2], 0), (1, 224, 224, 3)
-            )[0]
-
-        blocks = jax.vmap(slice_block)(cds)
         whole = P.apply_resize_pair(image, wwx, wwy, compute_dtype=cdt)
-        return jnp.concatenate([whole[None], blocks], axis=0)
+        return levels, whole
 
-    crops = jax.vmap(crops_one)(
-        images, level_wx, level_wy, whole_wx, whole_wy, coords
-    )  # (B, 1 + max_blocks, 224, 224, 3)
-    b, m = crops.shape[:2]
-    crops = P.normalize_clip(
-        crops.reshape(b * m, 224, 224, 3), dtype
-    )
+    levels, wholes = jax.vmap(levels_one)(
+        images, level_wx, level_wy, whole_wx, whole_wy
+    )  # (B, 1 + L, PH, PW, 3), (B, 224, 224, 3)
+
+    def slice_block(c):
+        return jax.lax.dynamic_slice(
+            levels, (c[0], c[1], c[2], c[3], 0), (1, 1, 224, 224, 3)
+        )[0, 0]
+
+    blocks = jax.vmap(slice_block)(coords)  # (T, 224, 224, 3)
+    crops = jnp.concatenate([wholes, blocks], axis=0)
+    crops = P.normalize_clip(crops, dtype)
     emb = C.image_encoder(params, crops, config)
-    return _l2_normalize(emb).reshape(b, m, -1)
+    return _l2_normalize(emb)
 
 
 def _objects_fn(params, image, meta, masks, *, config, dtype, k_pad):
