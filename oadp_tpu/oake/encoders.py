@@ -143,6 +143,12 @@ class OakeSteps:
             ),
             static_argnames=('k_pad',),
         )
+        self._objects_multi = jax.jit(
+            functools.partial(
+                _objects_multi_fn, config=model.surgery_config, dtype=dtype
+            ),
+            static_argnames=('k_pad',),
+        )
 
     def globals_step(
         self,
@@ -191,6 +197,29 @@ class OakeSteps:
     ) -> jax.Array:
         return self._objects(
             self.model.surgery_params, image, meta, masks, k_pad=k_pad
+        )
+
+    def objects_multi_step(
+        self,
+        images,  # list of (PH, PW, 3) uint8 source images
+        img_idx,  # (G,) int32: source image of each chunk
+        metas,  # list of G (B, 9) per-crop scalar arrays
+        masks,  # list of G (B, grid, grid) uint8 masks
+        k_pad: int,  # static tap count (shared by the group)
+    ) -> jax.Array:
+        """→ ``(G * B, output_dim)`` fp16 embeddings, chunk-major.
+
+        Crop chunks from SEVERAL source images in one dispatch: the
+        objects program is ~hundreds of ms of device time but each
+        dispatch+fetch is a full transport round trip on a tunneled
+        backend, so batching images per dispatch halves the per-image
+        round-trip tax (the device work is identical — the encoder just
+        sees ``G * B`` crops instead of ``B`` twice). Per-item arrays
+        arrive as LISTS and are stacked inside the program (one dispatch
+        per batch, see :meth:`blocks_step`)."""
+        return self._objects_multi(
+            self.model.surgery_params, images, img_idx, metas, masks,
+            k_pad=k_pad,
         )
 
 
@@ -283,4 +312,36 @@ def _objects_fn(params, image, meta, masks, *, config, dtype, k_pad):
     )
     crops = P.normalize_clip(crops, dtype)
     emb = C.image_encoder_surgery(params, crops, masks, config)
+    return _l2_normalize(emb)
+
+
+def _objects_multi_fn(
+    params, images, img_idx, metas, masks, *, config, dtype, k_pad
+):
+    """Several images' crop chunks in ONE program (see
+    :meth:`OakeSteps.objects_multi_step`): per-chunk preprocessing is
+    vmapped over the chunk axis against each chunk's own source image,
+    then the surgery encoder runs once over the flattened crops —
+    numerically identical to G single-image dispatches."""
+    images = _stacked(images)  # (I, PH, PW, 3)
+    metas = _stacked(metas)  # (G, B, 9)
+    masks = _stacked(masks)  # (G, B, g, g)
+    src = jnp.take(images, img_idx, axis=0)  # (G, PH, PW, 3)
+    cdt = _compute_dtype(dtype)
+
+    def prep_one(image, meta):
+        wx_w, wx_start, wy_w, wy_start = P.device_coeffs(meta, k_pad)
+        return P.apply_resize_coeffs(
+            image.astype(jnp.float32), wx_w, wx_start, wy_w, wy_start,
+            compute_dtype=cdt,
+        )
+
+    crops = jax.vmap(prep_one)(src, metas)  # (G, B, 224, 224, 3)
+    g, b = crops.shape[:2]
+    crops = P.normalize_clip(crops, dtype).reshape(
+        g * b, *crops.shape[2:]
+    )
+    emb = C.image_encoder_surgery(
+        params, crops, masks.reshape(g * b, *masks.shape[2:]), config
+    )
     return _l2_normalize(emb)

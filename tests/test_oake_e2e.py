@@ -262,3 +262,54 @@ def test_globals_auto_fix(setup):
     assert _cos(np.asarray(regenerated), np.asarray(original)) > 0.9999
     # intact file untouched
     assert files[1].stat().st_mtime_ns == intact_before
+
+
+def test_objects_multi_step_matches_single():
+    """``objects_multi_step`` (several images' chunks in one dispatch)
+    must be numerically identical to per-image ``objects_step`` calls,
+    including mixed chunk->image assignment and group offsets."""
+    import jax.numpy as jnp
+
+    from oadp_tpu.oake.encoders import OakeSteps, load_clip
+    from oadp_tpu.ops import preprocess as P
+
+    model = load_clip(None, 'float32', vit=VIT)
+    steps = OakeSteps(model, 128, 128)
+    rng = np.random.default_rng(3)
+    imgs = [
+        rng.integers(0, 256, (128, 128, 3), np.uint8) for _ in range(2)
+    ]
+    g = model.grid
+
+    def mk(n):
+        sides = rng.uniform(16, 100, n)
+        x0 = rng.uniform(0, 28, n)
+        y0 = rng.uniform(0, 28, n)
+        boxes = np.stack(
+            [x0, y0, np.minimum(x0 + sides, 128),
+             np.minimum(y0 + sides, 128)], -1,
+        )
+        meta = P.clip_transform_meta(128, 128, boxes).astype(np.float32)
+        masks = (rng.random((n, g, g)) > 0.5).astype(np.uint8)
+        return meta, masks
+
+    chunks = [mk(8) for _ in range(3)]
+    # chunks 0 and 2 come from image 0, chunk 1 from image 1
+    img_idx = np.asarray([0, 1, 0], np.int32)
+    singles = [
+        np.asarray(steps.objects_step(
+            jnp.asarray(imgs[i]), meta, masks, 13,
+        ))
+        for i, (meta, masks) in zip(img_idx, chunks)
+    ]
+    multi = np.asarray(steps.objects_multi_step(
+        [jnp.asarray(im) for im in imgs],
+        img_idx,
+        [c[0] for c in chunks],
+        [c[1] for c in chunks],
+        13,
+    ))
+    for i, single in enumerate(singles):
+        np.testing.assert_allclose(
+            multi[i * 8:(i + 1) * 8], single, atol=2e-5, rtol=1e-4,
+        )
