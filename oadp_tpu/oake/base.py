@@ -219,14 +219,15 @@ class BaseOakePipeline(ABC):
         producer.start()
         buffer: list[dict[str, Any]] = []
 
-        # Saver thread: materializing a record (device->host fetch) and
-        # writing the .pth both block — on a tunneled/remote backend the
-        # fetch alone is a full transport round trip. Running saves on
-        # their own thread overlaps them with the NEXT batch's dispatch
-        # round trip (device dispatch is async, so device compute
-        # already overlapped; this hides the host-side latency too).
-        # ``inflight`` bounds how many dispatched-unsaved batches exist,
-        # which also bounds device-buffer lifetime.
+        # Pipelining: the main thread dispatches batch k, THEN fetches
+        # batch k-1 (``finalize``) — by then k-1 is (nearly) done and k
+        # is queued behind it, so the device never idles, and the
+        # transport sees the proven-fast dispatch->fetch sequence from
+        # ONE thread. (An earlier design fetched in the saver thread;
+        # on serialized transports — the axon tunnel — the blocking
+        # fetch then contends with the next dispatch and the producer's
+        # uploads, and the loop ran far below device rate.) The saver
+        # thread only writes finalized numpy records to disk.
         inflight = max(1, int(self.config.get('inflight', 2)))
         save_queue: 'queue_mod.Queue' = queue_mod.Queue(maxsize=inflight)
         save_error: list[BaseException] = []
@@ -240,7 +241,7 @@ class BaseOakePipeline(ABC):
                 try:
                     items, records = entry
                     for item, record in zip(items, records):
-                        save_pth(self.finalize(record), item['output'])
+                        save_pth(record, item['output'])
                     done += len(items)
                     if done % self.log_interval < self.device_batch:
                         rate = done / (time.time() - start)
@@ -267,12 +268,26 @@ class BaseOakePipeline(ABC):
                 except queue_mod.Full:
                     continue
 
+        pending: list = []  # [(items, raw records)] of the last batch
+
+        def settle():
+            if pending:
+                items, records = pending.pop()
+                enqueue_save(
+                    (items, [self.finalize(r) for r in records])
+                )
+
         def flush():
             if not buffer:
                 return
-            records = self.execute_batch(buffer)
-            enqueue_save((list(buffer), records))
+            records = self.execute_batch(buffer)  # async dispatch
+            pending.append((list(buffer), records))
             buffer.clear()
+            if len(pending) > 1:  # fetch the PREVIOUS batch
+                items, records = pending.pop(0)
+                enqueue_save(
+                    (items, [self.finalize(r) for r in records])
+                )
 
         # On any exception below, the daemon threads are simply
         # abandoned (the producer may be blocked on a full queue —
@@ -289,6 +304,7 @@ class BaseOakePipeline(ABC):
             if len(buffer) >= self.device_batch:
                 flush()
         flush()
+        settle()
         enqueue_save(sentinel)
         saver.join()
         producer.join()

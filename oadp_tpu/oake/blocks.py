@@ -95,15 +95,15 @@ class BlocksPipeline(BaseOakePipeline):
         return arrays, coords, np.asarray(bboxes, np.float32)
 
     def prepare(self, item: dict[str, Any]) -> dict[str, Any]:
-        import jax
         w, h = item['width'], item['height']
         arrays, coords, bboxes = self._size_constants(w, h)
         level_wx, level_wy, whole_wx, whole_wy = arrays
         return dict(
             output=item['output'],
-            # producer-thread upload (overlaps the previous image's
-            # device program; the size constants are already resident)
-            image=jax.device_put(self._pad_image(item['image'])),
+            # host numpy: execute_batch stacks the batch's images into
+            # ONE array so the whole batch rides a single transfer on
+            # the dispatch; the size constants are device-resident
+            image=self._pad_image(item['image']),
             level_wx=level_wx,
             level_wy=level_wy,
             whole_wx=whole_wx,
@@ -143,8 +143,12 @@ class BlocksPipeline(BaseOakePipeline):
         coords = np.concatenate(flat + [pad_rows], axis=0)
 
         emb = self.steps.blocks_step(
-            gather('image'), gather('level_wx'), gather('level_wy'),
-            gather('whole_wx'), gather('whole_wy'), coords,
+            # images: one host np.stack -> a single transfer riding the
+            # dispatch; the per-size constants stay device-resident
+            # LISTS, stacked inside the program (no transfer)
+            np.stack(gather('image')), gather('level_wx'),
+            gather('level_wy'), gather('whole_wx'), gather('whole_wy'),
+            coords,
         )
         return [
             dict(

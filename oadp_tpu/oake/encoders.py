@@ -149,6 +149,14 @@ class OakeSteps:
             ),
             static_argnames=('k_pad',),
         )
+        self._objects_packed = jax.jit(
+            functools.partial(
+                _objects_packed_fn,
+                config=model.surgery_config, dtype=dtype,
+                pad_h=pad_h, pad_w=pad_w,
+            ),
+            static_argnames=('crop_rows', 'k_pad'),
+        )
 
     def globals_step(
         self,
@@ -220,6 +228,38 @@ class OakeSteps:
         return self._objects_multi(
             self.model.surgery_params, images, img_idx, metas, masks,
             k_pad=k_pad,
+        )
+
+    def packed_chunk_size(self, crop_rows: int) -> int:
+        """Byte length of one packed chunk buffer (see
+        :meth:`objects_packed_step`)."""
+        g = self.model.grid
+        return (
+            self.pad_h * self.pad_w * 3
+            + crop_rows * g * g
+            + crop_rows * 9 * 4
+        )
+
+    def objects_packed_step(
+        self,
+        bufs,  # (G, packed_chunk_size(B)) uint8 host array (or list)
+        crop_rows: int,  # static B: crop rows per chunk
+        k_pad: int,  # static tap count (shared by the group)
+    ) -> jax.Array:
+        """→ ``(G * B, output_dim)`` fp16 embeddings, chunk-major.
+
+        Like :meth:`objects_multi_step`, but each chunk's inputs travel
+        as ONE flat uint8 buffer ``[image bytes | mask bytes |
+        meta-float32 bytes]`` built by ``ObjectsPipeline.prepare``, and
+        the group's buffers arrive host-stacked so the whole batch is a
+        single transfer riding the dispatch. On a tunneled backend every
+        transport operation is a serialized round trip (~25-60 ms
+        regardless of size), so this pays exactly 2 round trips per
+        group (dispatch+upload, fetch) instead of ~9. On-device unpack
+        is reshape + bitcast (free)."""
+        return self._objects_packed(
+            self.model.surgery_params, bufs,
+            crop_rows=crop_rows, k_pad=k_pad,
         )
 
 
@@ -343,5 +383,43 @@ def _objects_multi_fn(
     )
     emb = C.image_encoder_surgery(
         params, crops, masks.reshape(g * b, *masks.shape[2:]), config
+    )
+    return _l2_normalize(emb)
+
+
+def _objects_packed_fn(
+    params, bufs, *, config, dtype, pad_h, pad_w, crop_rows, k_pad
+):
+    """Packed-buffer variant of :func:`_objects_multi_fn` (see
+    :meth:`OakeSteps.objects_packed_step`): each chunk arrives as one
+    flat uint8 buffer ``[image | masks | meta]``; the unpack is
+    reshape + ``bitcast_convert_type`` — zero-copy on device."""
+    buf = _stacked(bufs)  # (G, L) uint8
+    g = buf.shape[0]
+    grid = config.grid
+    n_img = pad_h * pad_w * 3
+    n_mask = crop_rows * grid * grid
+    images = buf[:, :n_img].reshape(g, pad_h, pad_w, 3)
+    masks = buf[:, n_img:n_img + n_mask].reshape(
+        g, crop_rows, grid, grid
+    )
+    metas = jax.lax.bitcast_convert_type(
+        buf[:, n_img + n_mask:].reshape(g, crop_rows, 9, 4), jnp.float32
+    )  # (G, B, 9)
+    cdt = _compute_dtype(dtype)
+
+    def prep_one(image, meta):
+        wx_w, wx_start, wy_w, wy_start = P.device_coeffs(meta, k_pad)
+        return P.apply_resize_coeffs(
+            image.astype(jnp.float32), wx_w, wx_start, wy_w, wy_start,
+            compute_dtype=cdt,
+        )
+
+    crops = jax.vmap(prep_one)(images, metas)  # (G, B, 224, 224, 3)
+    crops = P.normalize_clip(crops, dtype).reshape(
+        g * crop_rows, *crops.shape[2:]
+    )
+    emb = C.image_encoder_surgery(
+        params, crops, masks.reshape(g * crop_rows, grid, grid), config
     )
     return _l2_normalize(emb)

@@ -25,7 +25,6 @@ class GlobalsPipeline(BaseOakePipeline):
         self.device_batch = int(self.config.get('batch_size', 16))
 
     def prepare(self, item: dict[str, Any]) -> dict[str, Any]:
-        import jax
         w, h = item['width'], item['height']
         meta = P.clip_transform_meta(w, h, np.asarray(
             [[0.0, 0.0, w, h]]
@@ -33,10 +32,12 @@ class GlobalsPipeline(BaseOakePipeline):
         scale = max(meta[2] / meta[4], meta[3] / meta[5], 1.0)
         return dict(
             output=item['output'],
-            # per-image device_put in the producer thread: the uploads
-            # (~1.2 MB each) overlap the previous batch's encoder
-            # instead of serializing on the dispatch thread
-            image=jax.device_put(self._pad_image(item['image'])),
+            # host numpy: execute_batch stacks the batch's images and
+            # passes ONE array into the jitted program, so the whole
+            # batch rides a single transfer on the dispatch (on
+            # serialized transports per-image device_puts each cost a
+            # full round trip)
+            image=self._pad_image(item['image']),
             meta=meta,
             ksize=2 * int(np.ceil(2.0 * scale)) + 1,
         )
@@ -56,9 +57,9 @@ class GlobalsPipeline(BaseOakePipeline):
         k = bucket(
             max(item['ksize'] for item in prepared), (5, 9, 13, 21)
         )
-        # list of per-image arrays: stacked INSIDE the jitted program
-        # (one dispatch per batch, see OakeSteps.blocks_step docstring)
-        emb = self.steps.globals_step(imgs, meta, k)
+        # one host np.stack -> the whole batch is a single transfer
+        # riding the dispatch (see prepare)
+        emb = self.steps.globals_step(np.stack(imgs), meta, k)
         return [(emb, i) for i in range(n)]
 
     def finalize(self, record) -> np.ndarray:

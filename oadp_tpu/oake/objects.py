@@ -14,8 +14,10 @@ TPU redesign:
 * crop batches are padded to power-of-two buckets so XLA compiles a
   handful of shapes instead of one per proposal count;
 * ``device_batch`` images ride one dispatch (chunks grouped by bucket
-  and tap count across the batch), halving the per-image transport
-  round trips of tunneled/remote backends.
+  and tap count across the batch), and each chunk's inputs travel as
+  ONE packed uint8 buffer — minimizing per-image transport round trips
+  on tunneled/remote backends (uploads, dispatches and fetches
+  serialize on such transports, so round-trip count bounds the loop).
 """
 
 __all__ = ['ObjectsPipeline', 'main']
@@ -111,16 +113,24 @@ class ObjectsPipeline(BaseOakePipeline):
         ksizes = 2 * np.ceil(2.0 * scale).astype(int) + 1
         k = bucket(int(ksizes.max()), self._k_buckets)
 
-        # Pad to buckets AND ship everything to the device HERE, in the
-        # producer thread: the host->device transfer (~2 MB/image, tens
-        # of ms on a tunneled backend) then overlaps the previous
-        # image's encoder instead of blocking the dispatch thread.
-        # Masks travel as uint8 (4x fewer bytes; cast on device).
-        import jax
+        # Pad to buckets and PACK each chunk's inputs into one flat
+        # uint8 buffer ``[image | masks | meta-float32-bytes]`` (host
+        # numpy — no device_put here). execute_batch stacks the group's
+        # buffers on the host and passes ONE array into the jitted
+        # program, so the whole batch rides a single transfer on the
+        # dispatch. On a tunneled backend every transport operation is a
+        # serialized round trip (~25-60 ms regardless of size), so
+        # round-trip count — not thread overlap — bounds the loop; this
+        # layout pays exactly one upload + one dispatch + one fetch per
+        # ``device_batch`` images. On-device unpack is reshape + bitcast
+        # (free). Multi-chunk images (> ``mini_batch_size`` proposals)
+        # repeat the image bytes per chunk — still fewer round trips
+        # than split uploads.
         grid = self.model.grid
         pad_meta = np.asarray(
             [0, 0, 224, 224, 224, 224, 0, 0, 1], np.float32
         )  # dummy-but-valid identity-crop meta for padded rows
+        image_bytes = self._pad_image(item['image']).reshape(-1)
         n = len(proposals)
         chunks = []
         for start in range(0, n, self.mini_batch_size):
@@ -131,12 +141,14 @@ class ObjectsPipeline(BaseOakePipeline):
             masks_pad = np.zeros((b, grid, grid), np.uint8)
             meta_pad[:m] = meta[start:stop]
             masks_pad[:m] = masks[start:stop].astype(np.uint8)
-            chunks.append((
-                jax.device_put(meta_pad), jax.device_put(masks_pad), m
-            ))
+            buf = np.concatenate([
+                image_bytes,
+                masks_pad.reshape(-1),
+                meta_pad.view(np.uint8).reshape(-1),
+            ])
+            chunks.append((buf, b, m))
         return dict(
             output=item['output'],
-            image=jax.device_put(self._pad_image(item['image'])),
             chunks=chunks,
             k=k,
             bboxes=proposals,
@@ -145,32 +157,23 @@ class ObjectsPipeline(BaseOakePipeline):
 
     def execute_batch(self, prepared: list[dict[str, Any]]) -> list[Any]:
         # Group the batch's crop chunks by (bucket rows, tap bucket):
-        # chunks sharing a group run as ONE dispatch over all source
-        # images (``objects_multi_step``), async; the fetch happens one
-        # batch later in finalize() so device compute overlaps host IO.
-        # At the production workload (mini_batch_size >= proposals per
-        # image) every image is one chunk and the whole batch is one
-        # group — one dispatch + one fetch per ``device_batch`` images.
-        images = [it['image'] for it in prepared]
+        # chunks sharing a group run as ONE dispatch over their packed
+        # buffers (``objects_packed_step``), async; the fetch happens
+        # one batch later in finalize() so device compute overlaps host
+        # IO. At the production workload (mini_batch_size >= proposals
+        # per image) every image is one chunk and the whole batch is one
+        # group — one upload + one dispatch + one fetch per image pair.
         groups: dict[tuple[int, int], dict[str, list]] = {}
         for i, item in enumerate(prepared):
-            for j, (meta, masks, m) in enumerate(item['chunks']):
-                key = (meta.shape[0], item['k'])
-                g = groups.setdefault(
-                    key, dict(idx=[], meta=[], masks=[], span=[])
-                )
-                g['span'].append(
-                    (i, j, len(g['idx']) * meta.shape[0], m)
-                )
-                g['idx'].append(i)
-                g['meta'].append(meta)
-                g['masks'].append(masks)
+            for j, (buf, b, m) in enumerate(item['chunks']):
+                key = (b, item['k'])
+                g = groups.setdefault(key, dict(bufs=[], span=[]))
+                g['span'].append((i, j, len(g['bufs']) * b, m))
+                g['bufs'].append(buf)
         per_item: list[dict[int, tuple]] = [{} for _ in prepared]
-        for (_, k), g in groups.items():
-            out = self.steps.objects_multi_step(
-                images, np.asarray(g['idx'], np.int32),
-                g['meta'], g['masks'], k,
-            )
+        for (b, k), g in groups.items():
+            # one host np.stack -> ONE transfer riding the dispatch
+            out = self.steps.objects_packed_step(np.stack(g['bufs']), b, k)
             for i, j, off, m in g['span']:
                 per_item[i][j] = (out, off, m)
         return [

@@ -313,3 +313,18 @@ def test_objects_multi_step_matches_single():
         np.testing.assert_allclose(
             multi[i * 8:(i + 1) * 8], single, atol=2e-5, rtol=1e-4,
         )
+
+    # the packed-buffer production path (one flat uint8 upload per
+    # chunk: [image | masks | meta bytes], unpacked on device) must
+    # match both
+    bufs = [
+        jnp.asarray(np.concatenate([
+            imgs[i].reshape(-1),
+            masks.reshape(-1),
+            meta.view(np.uint8).reshape(-1),
+        ]))
+        for i, (meta, masks) in zip(img_idx, chunks)
+    ]
+    assert bufs[0].shape[0] == steps.packed_chunk_size(8)
+    packed = np.asarray(steps.objects_packed_step(bufs, 8, 13))
+    np.testing.assert_allclose(packed, multi, atol=2e-5, rtol=1e-4)
