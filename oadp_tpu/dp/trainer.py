@@ -199,6 +199,14 @@ def build_train_step(
         )
         losses['total'] = total
         losses['lr'] = lr
+        # all metrics stacked into ONE device buffer (sorted-key order):
+        # the training loop logs from this vector with a single fetch
+        # per log window — fetching each scalar individually costs a
+        # full transport round trip on tunneled/remote backends
+        # (measured ~28 ms EACH, i.e. seconds per 50-step window)
+        losses['_vec'] = jnp.stack([
+            v.astype(jnp.float32) for _, v in sorted(losses.items())
+        ])
         return params, new_stats, bufs, losses
 
     return step_fn
@@ -335,7 +343,9 @@ class Trainer:
         )
         rng = jax.random.key(self.seed)
         t0 = time.time()
-        window = []
+        # device-side metric accumulator: one eager add per step (async,
+        # hidden behind the step), ONE fetch per log window
+        win_vec, win_n, loss_keys = None, 0, None
         step = state.step
         epoch = step // epoch_len
         while step < max_iters:
@@ -365,14 +375,21 @@ class Trainer:
                     jax.profiler.stop_trace()
                     logger.info('profiler trace written to %s',
                                 self.profile['dir'])
-                window.append(losses)
+                vec = losses.pop('_vec', None)
+                if loss_keys is None:
+                    loss_keys = sorted(losses)
+                if vec is None:  # step without the packed vector
+                    vec = jnp.stack([
+                        losses[k].astype(jnp.float32) for k in loss_keys
+                    ])
+                win_vec = vec if win_vec is None else win_vec + vec
+                win_n += 1
                 if step % self.log_interval == 0:
-                    avg = {
-                        k: float(np.mean([float(w[k]) for w in window]))
-                        for k in losses
-                    }
+                    avg = dict(zip(
+                        loss_keys, np.asarray(win_vec) / win_n
+                    ))
                     ips = (
-                        self.log_interval * batch['images'].shape[0]
+                        win_n * batch['images'].shape[0]
                         / max(time.time() - t0, 1e-6)
                     )
                     logger.info(
@@ -384,7 +401,7 @@ class Trainer:
                         ),
                         ips,
                     )
-                    window = []
+                    win_vec, win_n = None, 0
                     t0 = time.time()
                 if not self.ckpt_by_epoch and step % self.ckpt_interval == 0:
                     self.save(state)
