@@ -229,7 +229,10 @@ class TrainTransform:
         sample = resize_keep_ratio(sample, long, short)
         if rng.random() < self.flip_ratio:
             sample = flip_horizontal(sample)
-        return normalize(sample)
+        # images stay uint8: mean/std normalization runs ON DEVICE
+        # (``models.detector.ingest_images``) — host-side fp32 math cost
+        # ~35 ms/image on a 1-core host and tripled the transfer bytes
+        return sample
 
 
 class TestTransform:
@@ -240,8 +243,8 @@ class TestTransform:
     def __call__(
         self, sample: dict[str, Any], salt: tuple = (0, 0)
     ) -> dict[str, Any]:
-        sample = resize_keep_ratio(sample, *self.scale)
-        return normalize(sample)
+        # uint8 out; normalization is on-device (see TrainTransform)
+        return resize_keep_ratio(sample, *self.scale)
 
 
 def resize_keep_ratio(
@@ -296,6 +299,10 @@ def flip_horizontal(sample: dict[str, Any]) -> dict[str, Any]:
 
 
 def normalize(sample: dict[str, Any]) -> dict[str, Any]:
+    """Host-side mean/std normalization (mmdet ``Normalize``). The
+    production loaders no longer call this — normalization is fused
+    into the jitted forward (``models.detector.ingest_images``) — but
+    the semantics are kept here for oracle tests."""
     sample['image'] = (
         sample['image'].astype(np.float32) - IMG_MEAN
     ) / IMG_STD
@@ -352,7 +359,12 @@ class BatchBuilder:
                 valid[i, :m] = True
             return out, valid
 
-        images = np.zeros((b, ch, cw, 3), np.float32)
+        # canvas dtype follows the sample images: uint8 from the
+        # production transforms (normalized on device), float when a
+        # caller pre-normalized on host
+        images = np.zeros(
+            (b, ch, cw, 3), samples[0]['image'].dtype
+        )
         img_hw = np.zeros((b, 2), np.float32)
         for i, s in enumerate(samples):
             img = s['image']

@@ -84,13 +84,24 @@ class DetEvaluator:
     def _fn(self, canvas: tuple):
         if canvas not in self._jit:
             anchors = canvas_anchors(self.config, canvas)
-            self._jit[canvas] = jax.jit(
-                functools.partial(
-                    DET.simple_test,
-                    config=self.config,
-                    level_anchors=anchors,
-                )
+            test_fn = functools.partial(
+                DET.simple_test,
+                config=self.config,
+                level_anchors=anchors,
             )
+            act_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+
+            def run(params, stats, batch):
+                batch = dict(batch)
+                # uint8 loader canvases -> normalized activations
+                # (models.detector.ingest_images), fused into the
+                # jitted forward
+                batch['images'] = DET.ingest_images(
+                    batch['images'], act_dtype
+                )
+                return test_fn(params, stats, batch)
+
+            self._jit[canvas] = jax.jit(run)
         return self._jit[canvas]
 
     def run(self, params, stats) -> dict[str, float]:
@@ -109,10 +120,9 @@ class DetEvaluator:
                 k: v for k, v in batch.items()
                 if k not in ('image_ids', 'scale_factor')
             }
-            if self.bf16:
-                device_batch['images'] = device_batch['images'].astype(
-                    jnp.bfloat16
-                )
+            # images ship in the loader's dtype (uint8): normalization
+            # and the activation-dtype cast are fused into the jitted
+            # forward (_fn)
             if b < self.batch_size:  # pad tail batch to the static size
                 pad = self.batch_size - b
                 device_batch = {

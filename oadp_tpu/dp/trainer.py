@@ -315,17 +315,28 @@ class Trainer:
             warmup_ratio=self.warmup_ratio,
             n_dev=self.n_devices,
         )
-        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+        act_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+
+        def stepped(params, stats, bufs, batch, step, rng):
+            batch = dict(batch)
+            # uint8 loader canvases -> normalized activations, fused
+            # into the step (see models.detector.ingest_images)
+            batch['images'] = DET.ingest_images(
+                batch['images'], act_dtype
+            )
+            return step_fn(params, stats, bufs, batch, step, rng)
+
+        return jax.jit(stepped, donate_argnums=(0, 1, 2))
 
     def _device_batch(self, batch: dict) -> dict:
-        arrays = {}
-        for k, v in batch.items():
-            if k in ('image_ids', 'scale_factor'):
-                continue
-            if self.bf16 and k == 'images':
-                v = v.astype(jnp.bfloat16)
-            arrays[k] = jax.device_put(v, self.shard)
-        return arrays
+        # images ship in the loader's dtype (uint8 canvases from the
+        # production transforms — normalized/cast on device inside the
+        # jitted step, see _make_step)
+        return {
+            k: jax.device_put(v, self.shard)
+            for k, v in batch.items()
+            if k not in ('image_ids', 'scale_factor')
+        }
 
     # -- loop ---------------------------------------------------------------
 
