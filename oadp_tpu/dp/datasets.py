@@ -309,6 +309,96 @@ def normalize(sample: dict[str, Any]) -> dict[str, Any]:
     return sample
 
 
+# keys that stay on the host (consumed by the python loop, never by the
+# jitted step)
+_PACK_SKIP = ('image_ids', 'scale_factor')
+
+
+def pack_batch(batch: dict[str, Any]) -> dict[str, Any]:
+    """Pack every device-bound field into ONE ``(b, S)`` uint8 buffer.
+
+    On tunneled/remote TPU transports each transfer operation is a
+    serialized round trip regardless of size, so a ~13-array batch dict
+    costs ~13 round-trip initiations per step on the host thread. The
+    packed layout ships the whole batch as a single ``device_put`` whose
+    bytes ride one transfer; the jitted step unpacks with reshape +
+    ``bitcast_convert_type`` (free on device). Rows are per-sample, so
+    a data-parallel ``PartitionSpec('data')`` on dim 0 still shards by
+    sample. Packing runs on the loader worker thread (``Loader.epoch``
+    calls the builder there), keeping the host hot loop at one transfer
+    initiation + one dispatch per step.
+
+    Returns a dict with ``packed`` ``(b, S) uint8``, a hashable
+    ``_pack_spec`` describing the layout (static per canvas), and the
+    host-side keys (``image_ids``, ``scale_factor``) untouched.
+    """
+    b = batch['images'].shape[0]
+    spec: list[tuple] = []
+    parts: list[np.ndarray] = []
+    off = 0
+    for k in sorted(batch):
+        if k in _PACK_SKIP:
+            continue
+        v = batch[k]
+        store = v.astype(np.uint8) if v.dtype == np.bool_ else v
+        rows = np.ascontiguousarray(
+            store.reshape(b, -1)
+        ).view(np.uint8)
+        pad = (-rows.shape[1]) % 4  # 4-byte lanes for the bitcast
+        if pad:
+            rows = np.concatenate(
+                [rows, np.zeros((b, pad), np.uint8)], axis=1
+            )
+        spec.append((k, v.shape, str(v.dtype), off,
+                     store.size // b * store.dtype.itemsize))
+        off += rows.shape[1]
+        parts.append(rows)
+    out = {k: batch[k] for k in _PACK_SKIP if k in batch}
+    out['packed'] = np.concatenate(parts, axis=1)
+    out['_pack_spec'] = tuple(spec)
+    return out
+
+
+def unpack_batch(buf, spec) -> dict[str, Any]:
+    """Invert :func:`pack_batch` INSIDE a jitted program.
+
+    Static slices + reshape + ``lax.bitcast_convert_type`` — zero-copy
+    on device. ``spec`` is the hashable layout from ``_pack_spec``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    # batch dim comes from the BUFFER, not the spec: callers may pad a
+    # tail batch by repeating packed rows (see DetEvaluator.run)
+    b = buf.shape[0]
+    out = {}
+    for k, shape, dtype, off, nbytes in spec:
+        shape = (b,) + tuple(shape[1:])
+        seg = buf[:, off:off + nbytes]
+        if dtype == 'bool':
+            out[k] = seg.reshape(shape) != 0
+        elif dtype == 'uint8':
+            out[k] = seg.reshape(shape)
+        else:
+            lanes = np.dtype(dtype).itemsize
+            arr = jax.lax.bitcast_convert_type(
+                seg.reshape(b, nbytes // lanes, lanes),
+                jnp.dtype(dtype),
+            )
+            out[k] = arr.reshape(shape)
+    return out
+
+
+def batch_canvas(batch: dict[str, Any]) -> tuple[int, int]:
+    """The ``(H, W)`` canvas of a batch, packed or plain."""
+    if 'packed' in batch:
+        for k, shape, *_ in batch['_pack_spec']:
+            if k == 'images':
+                return tuple(shape[1:3])
+        raise KeyError('packed batch without images field')
+    return tuple(batch['images'].shape[1:3])
+
+
 class BatchBuilder:
     """Pad a list of samples to one static-canvas batch (numpy)."""
 
@@ -324,7 +414,9 @@ class BatchBuilder:
         with_mask: bool = False,
         max_polygon_parts: int = 8,
         max_polygon_verts: int = 96,
+        pack: bool = False,
     ) -> None:
+        self.pack = pack
         self.canvas = canvas
         self.max_gts = max_gts
         self.max_blocks = max_blocks
@@ -435,6 +527,8 @@ class BatchBuilder:
             batch['clip_objects'], _ = pad_rows(
                 'clip_objects', self.max_objects, (d,)
             )
+        if self.pack:  # single-transfer batches (see pack_batch)
+            return pack_batch(batch)
         return batch
 
 

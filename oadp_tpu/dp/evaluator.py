@@ -29,7 +29,14 @@ from ..models import detector as DET
 from ..utils import PthAccessLayer, Store, logger
 from .builder import canvas_anchors
 from .coco_eval import CocoEvaluator, ov_coco_summary
-from .datasets import BatchBuilder, CocoDetDataset, Loader, TestTransform
+from .datasets import (
+    BatchBuilder,
+    CocoDetDataset,
+    Loader,
+    TestTransform,
+    batch_canvas,
+    unpack_batch,
+)
 from .lvis_eval import LvisEvaluator, ov_lvis_summary
 
 
@@ -68,6 +75,7 @@ class DetEvaluator:
         builder = BatchBuilder(
             canvas=canvas, with_clip=False,
             num_all=categories.num_all,
+            pack=True,  # ONE transfer per eval batch (datasets.pack_batch)
         )
         self.loader = Loader(
             dataset, builder, batch_size, TestTransform(scale),
@@ -81,7 +89,7 @@ class DetEvaluator:
             if Store.DUMP else None
         )
 
-    def _fn(self, canvas: tuple):
+    def _fn(self, canvas: tuple, pack_spec: tuple = ()):
         if canvas not in self._jit:
             anchors = canvas_anchors(self.config, canvas)
             test_fn = functools.partial(
@@ -92,7 +100,10 @@ class DetEvaluator:
             act_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
 
             def run(params, stats, batch):
-                batch = dict(batch)
+                if pack_spec:  # one flat uint8 buffer -> field dict
+                    batch = unpack_batch(batch['packed'], pack_spec)
+                else:
+                    batch = dict(batch)
                 # uint8 loader canvases -> normalized activations
                 # (models.detector.ingest_images), fused into the
                 # jitted forward
@@ -116,9 +127,10 @@ class DetEvaluator:
             ids = batch['image_ids']
             scale = batch['scale_factor']
             b = len(ids)
+            spec = batch.get('_pack_spec', ())
             device_batch = {
                 k: v for k, v in batch.items()
-                if k not in ('image_ids', 'scale_factor')
+                if k not in ('image_ids', 'scale_factor', '_pack_spec')
             }
             # images ship in the loader's dtype (uint8): normalization
             # and the activation-dtype cast are fused into the jitted
@@ -129,11 +141,10 @@ class DetEvaluator:
                     k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
                     for k, v in device_batch.items()
                 }
-            device_batch = {
-                k: jax.device_put(v, self.shard)
-                for k, v in device_batch.items()
-            }
-            out = self._fn(device_batch['images'].shape[1:3])(
+            # ONE batched put for the whole tree (tunneled transports
+            # serialize per-call round trips)
+            device_batch = jax.device_put(device_batch, self.shard)
+            out = self._fn(batch_canvas(batch), spec)(
                 params, stats, device_batch,
             )
             out = jax.tree.map(np.asarray, out)

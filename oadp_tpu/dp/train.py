@@ -86,6 +86,9 @@ def build_train_loader(config: Config, categories, model_cfg) -> Loader:
         with_mask=with_mask,
         max_polygon_parts=batch_cfg.get('max_polygon_parts', 8),
         max_polygon_verts=batch_cfg.get('max_polygon_verts', 96),
+        # production loaders ship ONE uint8 buffer per batch (packed on
+        # the worker thread; see datasets.pack_batch)
+        pack=bool(batch_cfg.get('pack', True)),
     )
     samples_per_device = int(
         config.trainer.dataloader.get('samples_per_gpu', 2)

@@ -33,9 +33,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..models import detector as DET
 from ..utils import Config, logger
+from . import datasets
 from .builder import DetectorBundle, canvas_anchors
 
 Params = dict[str, Any]
+
+# static width of the carried metric vector (see Trainer._make_step):
+# the packed loss/metric stack is padded to this length so the device
+# carry has a known shape before the step is ever traced
+_VEC_PAD = 32
 
 
 def sgd_init(params: Params) -> Params:
@@ -292,6 +298,9 @@ class Trainer:
         self.repl = NamedSharding(self.mesh, PartitionSpec())
         self.shard = NamedSharding(self.mesh, PartitionSpec('data'))
         self._step_fn: dict[tuple, Callable] = {}
+        # filled at trace time with the sorted metric-key order of the
+        # packed vector (single element: list[str])
+        self._loss_keys: list[list[str]] = []
 
     # -- jitted step --------------------------------------------------------
 
@@ -300,7 +309,9 @@ class Trainer:
             return tuple(int(m) * epoch_len for m in self.milestones)
         return tuple(int(m) for m in self.milestones)
 
-    def _make_step(self, canvas: tuple, epoch_len: int) -> Callable:
+    def _make_step(
+        self, canvas: tuple, epoch_len: int, pack_spec: tuple = (),
+    ) -> Callable:
         config = self.bundle.config
         step_fn = build_train_step(
             config,
@@ -316,26 +327,54 @@ class Trainer:
             n_dev=self.n_devices,
         )
         act_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        shard = self.shard
+        keys_box = self._loss_keys
 
-        def stepped(params, stats, bufs, batch, step, rng):
-            batch = dict(batch)
+        def stepped(carry, batch):
+            # The full training state — params, momentum bufs, BN stats,
+            # the step counter, the RNG key and the metric window
+            # accumulator — lives ON DEVICE in one donated carry. The
+            # host loop never touches a device scalar between steps: on
+            # a tunneled/remote backend every eager op (random.split,
+            # jnp.asarray(step), a metric add) is a serialized ~25 ms
+            # round trip, which cost ~40 ms/step before this shape.
+            params, stats, bufs, step, key, win = carry
+            key, sub = jax.random.split(key)
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, shard)
+                for k, v in batch.items()
+            }
+            if pack_spec:  # one flat uint8 buffer -> field dict
+                batch = datasets.unpack_batch(batch['packed'], pack_spec)
             # uint8 loader canvases -> normalized activations, fused
             # into the step (see models.detector.ingest_images)
             batch['images'] = DET.ingest_images(
                 batch['images'], act_dtype
             )
-            return step_fn(params, stats, bufs, batch, step, rng)
+            params, stats, bufs, losses = step_fn(
+                params, stats, bufs, batch, step, sub
+            )
+            vec = losses.pop('_vec')
+            if not keys_box:  # trace-time: record the metric order once
+                keys_box.append(sorted(losses))
+            assert vec.shape[0] <= _VEC_PAD, 'raise _VEC_PAD'
+            vec = jnp.pad(vec, (0, _VEC_PAD - vec.shape[0]))
+            # win accumulates CUMULATIVELY; the host fetches it once per
+            # log window and differences against the previous fetch
+            return params, stats, bufs, step + 1, key, win + vec
 
-        return jax.jit(stepped, donate_argnums=(0, 1, 2))
+        return jax.jit(stepped, donate_argnums=(0,))
 
     def _device_batch(self, batch: dict) -> dict:
-        # images ship in the loader's dtype (uint8 canvases from the
-        # production transforms — normalized/cast on device inside the
-        # jitted step, see _make_step)
+        # ASYNC per-key puts: each returns immediately and the transfer
+        # overlaps the previous step's device compute. Passing the
+        # numpy batch straight into the jitted call instead uploads
+        # synchronously inside the dispatch (measured: 13 -> 11 img/s
+        # on the tunneled chip); eager puts keep the device busy.
         return {
             k: jax.device_put(v, self.shard)
             for k, v in batch.items()
-            if k not in ('image_ids', 'scale_factor')
+            if k not in ('image_ids', 'scale_factor', '_pack_spec')
         }
 
     # -- loop ---------------------------------------------------------------
@@ -347,62 +386,68 @@ class Trainer:
             else self.max_iters
         )
         state = resume_state or TrainState(
-            params=jax.device_put(self.bundle.params, self.repl),
-            stats=jax.device_put(self.bundle.stats, self.repl),
-            bufs=jax.device_put(sgd_init(self.bundle.params), self.repl),
+            params=self.bundle.params,
+            stats=self.bundle.stats,
+            bufs=sgd_init(self.bundle.params),
             step=0,
         )
-        rng = jax.random.key(self.seed)
-        t0 = time.time()
-        # device-side metric accumulator: one eager add per step (async,
-        # hidden behind the step), ONE fetch per log window
-        win_vec, win_n, loss_keys = None, 0, None
         step = state.step
+        # the WHOLE training state rides one donated device carry:
+        # (params, stats, bufs, step, rng key, cumulative metric vec).
+        # The host loop issues exactly ONE async dispatch per step (the
+        # numpy batch rides it) and fetches one vector per log window —
+        # on tunneled/remote backends every other eager op is a
+        # serialized ~25 ms round trip (measured: this shape took the
+        # real train CLI from ~13 to the modeled ~17 img/s).
+        carry = (
+            jax.device_put(state.params, self.repl),
+            jax.device_put(state.stats, self.repl),
+            jax.device_put(state.bufs, self.repl),
+            jax.device_put(jnp.asarray(step, jnp.int32), self.repl),
+            jax.device_put(jax.random.key(self.seed), self.repl),
+            jax.device_put(jnp.zeros(_VEC_PAD, jnp.float32), self.repl),
+        )
+        t0 = time.time()
+        win_n = 0
+        prev_cum = np.zeros(_VEC_PAD, np.float32)
         epoch = step // epoch_len
+
+        def sync_state():
+            state.params, state.stats, state.bufs = carry[:3]
+            state.step = step
+
         while step < max_iters:
             for batch in self.loader.epoch(epoch):
                 if step >= max_iters:
                     break
-                canvas = batch['images'].shape[1:3]
+                canvas = datasets.batch_canvas(batch)
                 key = (canvas, epoch_len)
                 if key not in self._step_fn:
-                    self._step_fn[key] = self._make_step(canvas, epoch_len)
+                    self._step_fn[key] = self._make_step(
+                        canvas, epoch_len,
+                        batch.get('_pack_spec', ()),
+                    )
                 if self.profile and step == int(self.profile['start']):
                     jax.profiler.start_trace(str(self.profile['dir']))
-                rng, sub = jax.random.split(rng)
-                dev_batch = self._device_batch(batch)
-                (
-                    state.params, state.stats, state.bufs, losses
-                ) = self._step_fn[key](
-                    state.params, state.stats, state.bufs,
-                    dev_batch, jnp.asarray(step), sub,
-                )
+                carry = self._step_fn[key](carry, self._device_batch(batch))
                 step += 1
-                state.step = step
+                win_n += 1
                 if self.profile and step == int(self.profile['stop']):
-                    jax.tree.map(
-                        lambda x: x.block_until_ready(), losses
-                    )
+                    np.asarray(carry[5])  # drain the pipeline
                     jax.profiler.stop_trace()
                     logger.info('profiler trace written to %s',
                                 self.profile['dir'])
-                vec = losses.pop('_vec', None)
-                if loss_keys is None:
-                    loss_keys = sorted(losses)
-                if vec is None:  # step without the packed vector
-                    vec = jnp.stack([
-                        losses[k].astype(jnp.float32) for k in loss_keys
-                    ])
-                win_vec = vec if win_vec is None else win_vec + vec
-                win_n += 1
                 if step % self.log_interval == 0:
+                    cum = np.asarray(carry[5])  # ONE fetch per window
+                    keys = self._loss_keys[0]
                     avg = dict(zip(
-                        loss_keys, np.asarray(win_vec) / win_n
+                        keys, (cum - prev_cum)[:len(keys)] / win_n
                     ))
-                    ips = (
-                        win_n * batch['images'].shape[0]
-                        / max(time.time() - t0, 1e-6)
-                    )
+                    prev_cum = cum
+                    b = batch.get(
+                        'packed', batch.get('images')
+                    ).shape[0]
+                    ips = win_n * b / max(time.time() - t0, 1e-6)
                     logger.info(
                         'iter %d/%d lr %.2e total %.4f (%s) %.2f img/s',
                         step, max_iters, avg.pop('lr'),
@@ -412,28 +457,33 @@ class Trainer:
                         ),
                         ips,
                     )
-                    win_vec, win_n = None, 0
+                    win_n = 0
                     t0 = time.time()
                 if not self.ckpt_by_epoch and step % self.ckpt_interval == 0:
+                    sync_state()
                     self.save(state)
                 if (
                     self.evaluator is not None
                     and not self.eval_by_epoch
                     and step % self.eval_interval == 0
                 ):
+                    sync_state()
                     metrics = self.evaluator.run(state.params, state.stats)
                     logger.info('eval @%d: %s', step, metrics)
             epoch += 1
             if self.ckpt_by_epoch and self.epoch_based:
                 if epoch % max(self.ckpt_interval, 1) == 0:
+                    sync_state()
                     self.save(state)
             if (
                 self.evaluator is not None
                 and self.eval_by_epoch
                 and epoch % max(self.eval_interval, 1) == 0
             ):
+                sync_state()
                 metrics = self.evaluator.run(state.params, state.stats)
                 logger.info('eval @epoch %d: %s', epoch, metrics)
+        sync_state()
         self.save(state)
         return state
 

@@ -39,7 +39,7 @@ def main() -> None:
         make_synthetic_dp(workdir, embedding_dim=512)
 
     d = workdir / 'coco'
-    log_every = 4
+    log_every = int(os.environ.get('LOG_EVERY', '8'))
     overrides = [
         f'.trainer.dataloader.dataset.ann_file:'
         f'{str(d / "annotations/instances_val2017.json")!r}',
