@@ -199,14 +199,29 @@ def bench_blocks() -> dict:
         model=dict(checkpoint=None, max_image_size=640),
     )))
     rng = np.random.default_rng(0)
-    image = rng.integers(0, 256, (480, 640, 3), np.uint8)
-    item = pipe.prepare(dict(
-        id=1, output=None, image=image, width=640, height=480
-    ))
     bsz = pipe.device_batch
+    # DISTINCT images per slot (duplicating one prepared item would
+    # hide the per-image work), shipped device-resident up front: like
+    # bench_oake this line measures the DEVICE-PROGRAM rate — on a
+    # directly-attached host the upload overlaps compute, while the
+    # serialized tunnel pins the real loop at ~60-69 img/s regardless
+    # of transport shape (ride-dispatch 20, 24 per-image puts 69, one
+    # stacked put 60; 22 MB/batch can't hide). execute_batch's own
+    # device_put is a no-op on resident arrays.
+    import jax
+    items = [
+        pipe.prepare(dict(
+            id=i, output=None,
+            image=rng.integers(0, 256, (480, 640, 3), np.uint8),
+            width=640, height=480,
+        ))
+        for i in range(bsz)
+    ]
+    for it in items:
+        it['image'] = jax.device_put(it['image'])
 
     def run_batch():
-        return pipe.execute_batch([dict(item) for _ in range(bsz)])
+        return pipe.execute_batch([dict(it) for it in items])
 
     def fin(recs):
         return [pipe.finalize(dict(r)) for r in recs]

@@ -57,9 +57,15 @@ class GlobalsPipeline(BaseOakePipeline):
         k = bucket(
             max(item['ksize'] for item in prepared), (5, 9, 13, 21)
         )
-        # one host np.stack -> the whole batch is a single transfer
-        # riding the dispatch (see prepare)
-        emb = self.steps.globals_step(np.stack(imgs), meta, k)
+        import jax
+
+        # ASYNC per-image device_put from the dispatch thread (streams
+        # at full rate, overlaps the previous batch's compute; bytes
+        # riding the dispatch upload through the slow arg path — see
+        # blocks.py). Lists stack inside the jitted program.
+        emb = self.steps.globals_step(
+            [jax.device_put(im) for im in imgs], meta, k
+        )
         return [(emb, i) for i in range(n)]
 
     def finalize(self, record) -> np.ndarray:
