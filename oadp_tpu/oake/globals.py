@@ -59,13 +59,13 @@ class GlobalsPipeline(BaseOakePipeline):
         )
         import jax
 
-        # ASYNC per-image device_put from the dispatch thread (streams
-        # at full rate, overlaps the previous batch's compute; bytes
-        # riding the dispatch upload through the slow arg path — see
-        # blocks.py). Lists stack inside the jitted program.
-        emb = self.steps.globals_step(
-            [jax.device_put(im) for im in imgs], meta, k
-        )
+        # ONE batched device_put of the image list from the dispatch
+        # thread (single transfer init, streams at full rate, overlaps
+        # the previous batch's compute; bytes riding the dispatch
+        # upload through the slow arg path and PER-IMAGE puts pay a
+        # ~10 ms init each — see blocks.py). The list's leaves stack
+        # inside the jitted program.
+        emb = self.steps.globals_step(jax.device_put(imgs), meta, k)
         return [(emb, i) for i in range(n)]
 
     def finalize(self, record) -> np.ndarray:

@@ -173,6 +173,13 @@ class ObjectsPipeline(BaseOakePipeline):
         per_item: list[dict[int, tuple]] = [{} for _ in prepared]
         for (b, k), g in groups.items():
             # one host np.stack -> ONE transfer riding the dispatch
+            # ride-the-dispatch upload (NOT an explicit device_put):
+            # the ~2.6 MB pair buffer hides entirely under the ~550 ms
+            # pair encode, while a put's transfer-init round trip
+            # serializes ahead of the dispatch (measured: put-based
+            # objects e2e 1.5 img/s vs 2.4 ride-dispatch). Blocks and
+            # globals make the OPPOSITE choice — their compute is too
+            # small to hide the slow dispatch-arg stream (blocks.py).
             out = self.steps.objects_packed_step(np.stack(g['bufs']), b, k)
             for i, j, off, m in g['span']:
                 per_item[i][j] = (out, off, m)
