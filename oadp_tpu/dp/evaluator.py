@@ -123,6 +123,10 @@ class DetEvaluator:
         # per step over a tunneled transport)
         params = jax.device_put(params, self.repl)
         stats = jax.device_put(stats, self.repl)
+        # dispatch batch k, then fetch + postprocess batch k-1 while the
+        # device runs k (the OAKE runner's proven overlap shape —
+        # oake/base.py); `pending` holds one in-flight batch
+        pending = None
         for batch in self.loader.epoch(0):
             ids = batch['image_ids']
             scale = batch['scale_factor']
@@ -146,46 +150,58 @@ class DetEvaluator:
             device_batch = jax.device_put(device_batch, self.shard)
             out = self._fn(batch_canvas(batch), spec)(
                 params, stats, device_batch,
-            )
-            out = jax.tree.map(np.asarray, out)
-            for i in range(b):
-                img_id = int(ids[i])
-                if img_id in results:
-                    continue
-                if self._dump is not None:
-                    self._write_dump(img_id, out, i, scale[i])
-                    results[img_id] = []
-                    continue
-                dets = out['dets'][i]
-                valid = out['valid'][i]
-                labels = out['labels'][i]
-                masks = out.get('masks')
-                boxes = dets[:, :4] / scale[i]  # back to original coords
-                res = []
-                for j in np.nonzero(valid)[0]:
-                    x0, y0, x1, y1 = boxes[j]
-                    det = dict(
-                        image_id=img_id,
-                        category_id=self.dataset.cat_ids[int(labels[j])],
-                        bbox=[
-                            float(x0), float(y0),
-                            float(x1 - x0), float(y1 - y0),
-                        ],
-                        score=float(dets[j, 4]),
+            )  # async dispatch
+            if pending is not None:
+                n_done += self._consume(results, *pending)
+                if n_done % (50 * self.batch_size) == 0:
+                    logger.info(
+                        'eval: %d/%d images', n_done, len(self.dataset)
                     )
-                    if masks is not None:
-                        det['mask'] = masks[i, j]
-                    res.append(det)
-                results[img_id] = res
-            n_done += b
-            if n_done % (50 * self.batch_size) == 0:
-                logger.info('eval: %d/%d images', n_done, len(self.dataset))
+            pending = (out, ids, scale, b)
+        if pending is not None:
+            n_done += self._consume(results, *pending)
 
         if self._dump is not None:
             logger.info('DUMP mode: wrote %d records, skipping metrics',
                         len(results))
             return {}
         detections = [d for res in results.values() for d in res]
+        return self._metrics(detections)
+
+    def _consume(self, results, out, ids, scale, b) -> int:
+        out = jax.tree.map(np.asarray, out)  # fetch
+        for i in range(b):
+            img_id = int(ids[i])
+            if img_id in results:
+                continue
+            if self._dump is not None:
+                self._write_dump(img_id, out, i, scale[i])
+                results[img_id] = []
+                continue
+            dets = out['dets'][i]
+            valid = out['valid'][i]
+            labels = out['labels'][i]
+            masks = out.get('masks')
+            boxes = dets[:, :4] / scale[i]  # back to original coords
+            res = []
+            for j in np.nonzero(valid)[0]:
+                x0, y0, x1, y1 = boxes[j]
+                det = dict(
+                    image_id=img_id,
+                    category_id=self.dataset.cat_ids[int(labels[j])],
+                    bbox=[
+                        float(x0), float(y0),
+                        float(x1 - x0), float(y1 - y0),
+                    ],
+                    score=float(dets[j, 4]),
+                )
+                if masks is not None:
+                    det['mask'] = masks[i, j]
+                res.append(det)
+            results[img_id] = res
+        return b
+
+    def _metrics(self, detections: list[dict]) -> dict[str, float]:
         detections = self._gather(detections)
         if detections is None:  # non-zero process: rank 0 evaluates
             return {}
