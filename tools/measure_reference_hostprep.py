@@ -14,7 +14,10 @@ workers produce, so::
     ceiling_img/s/GPU = workers / (ms_per_crop * crops_per_image)
 
 regardless of GPU speed. This script measures ``ms_per_crop`` with the
-exact torch/PIL ops and prints the ceiling as one JSON line.
+exact torch/PIL ops — including the per-image JPEG decode and the
+``torch.stack(objects)``/``torch.cat(masks)`` collation the worker's
+``__getitem__`` pays (``oadp/oake/objects.py:180-186``, ~590 MB/image
+at 1024 crops) — and prints the ceiling as one JSON line.
 
 Usage: python tools/measure_reference_hostprep.py [--crops 512]
 """
@@ -29,7 +32,11 @@ import numpy as np
 sys.path.insert(0, '')
 
 
-def measure_ms_per_crop(n_crops: int = 512, pad: int = 640) -> float:
+def measure_ms_per_crop(
+    n_crops: int = 512, pad: int = 640, crops_per_image: int = 1024
+) -> float:
+    import io
+
     import PIL.Image
     import torch
     import torch.nn.functional as F
@@ -38,6 +45,11 @@ def measure_ms_per_crop(n_crops: int = 512, pad: int = 640) -> float:
     image = PIL.Image.fromarray(
         rng.integers(0, 256, (pad, pad, 3), np.uint8)
     )
+    # the worker's __getitem__ starts from a JPEG on disk
+    # (reference oake/base.py:COCODataset._load_image); amortize one
+    # decode per `crops_per_image` crops
+    jpeg = io.BytesIO()
+    image.save(jpeg, 'JPEG', quality=90)
     mean = (0.48145466, 0.4578275, 0.40821073)
     std = (0.26862954, 0.26130258, 0.27577711)
     try:
@@ -81,13 +93,24 @@ def measure_ms_per_crop(n_crops: int = 512, pad: int = 640) -> float:
     # host happening to be busy — take the fastest pass (lowest
     # ms/crop), i.e. the most conservative ceiling (measured host
     # speed drifts ±20% between container phases)
+    # one JPEG decode per image, amortized over its crops (reference
+    # objects.py:COCODataset._load_image) — timed separately (best-of-5,
+    # same conservative rule) and scaled by n_crops/crops_per_image
+    decode_s = float('inf')
+    for _ in range(5):
+        jpeg.seek(0)
+        t0 = time.perf_counter()
+        PIL.Image.open(jpeg).convert('RGB').load()
+        decode_s = min(decode_s, time.perf_counter() - t0)
+
     best = float('inf')
     for _ in range(5):
         t0 = time.perf_counter()
+        objects, masks = [], []
         for i in range(n_crops):
             box = (x0[i], y0[i], x0[i] + sides[i], y0[i] + sides[i])
             obj = image.crop(box)
-            tf(obj)
+            objects.append(tf(obj))
             # background mask at crop resolution + nearest downsample
             # (reference objects.py:129-155)
             cw = int(np.ceil(box[2] - box[0]))
@@ -95,8 +118,16 @@ def measure_ms_per_crop(n_crops: int = 512, pad: int = 640) -> float:
             xm = (torch.arange(cw) < (cw * 0.7))[None, :]
             ym = (torch.arange(ch) < (ch * 0.7))[:, None]
             m = (~(xm & ym))[None, None].float()
-            F.interpolate(m, size=(14, 14), mode='nearest')
+            masks.append(F.interpolate(m, size=(14, 14), mode='nearest'))
+        # the worker returns ONE stacked Batch per image (reference
+        # objects.py:180-186: torch.stack(objects) of 1024x3x224x224
+        # fp32 ~ 590 MB/image + torch.cat(masks)) — real memcpy the
+        # dataloader workers pay per image
+        torch.stack(objects)
+        torch.cat(masks)
+        del objects, masks
         best = min(best, time.perf_counter() - t0)
+    best += decode_s * n_crops / crops_per_image
     return best / n_crops * 1000.0
 
 
@@ -107,6 +138,8 @@ def measure_blocks_ms_per_image(
     hot loop, ``oadp/oake/blocks.py:54-77``): PIL pyramid downscales by
     1.5x until < 224, a balanced 224-grid of crops per level (stride <=
     112), CLIP preprocess per block, plus the whole-image preprocess."""
+    import io
+
     import PIL.Image
     import torch
 
@@ -114,6 +147,8 @@ def measure_blocks_ms_per_image(
     image = PIL.Image.fromarray(
         rng.integers(0, 256, (h, w, 3), np.uint8)
     )
+    jpeg = io.BytesIO()
+    image.save(jpeg, 'JPEG', quality=90)
     mean = (0.48145466, 0.4578275, 0.40821073)
     std = (0.26862954, 0.26130258, 0.27577711)
 
@@ -164,7 +199,10 @@ def measure_blocks_ms_per_image(
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_images):
-            one_image(image)
+            # the worker decodes the JPEG before the pyramid
+            # (reference oake/base.py:COCODataset._load_image)
+            jpeg.seek(0)
+            one_image(PIL.Image.open(jpeg).convert('RGB'))
         best = min(best, time.perf_counter() - t0)
     return best / n_images * 1000.0
 
