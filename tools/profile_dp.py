@@ -18,6 +18,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from oadp_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from oadp_tpu.dp.builder import canvas_anchors
     from oadp_tpu.dp.synthetic import make_embeddings, make_train_batch
     from oadp_tpu.models import detector as DET
