@@ -108,12 +108,12 @@ def bench_oake() -> dict:
     gk = bucket(int((2 * np.ceil(2.0 * gscale) + 1).max()), k_buckets)
     gimages = np.broadcast_to(image, (gbatch, pad, pad, 3))
 
-    # Ship the inputs to the device up front — the production pipelines
-    # `jax.device_put` in the PRODUCER thread (ObjectsPipeline.prepare),
-    # so per-image uploads (~2 MB, tens of ms on a tunneled transport)
-    # overlap the previous image's encoder instead of riding the
-    # dispatch path. The bench models that overlap; the REAL loops incl.
-    # uploads are measured by tools/measure_e2e_oake.py.
+    # Ship the inputs to the device up front: this line measures the
+    # DEVICE-PROGRAM rate. Production packs each image's inputs into
+    # one flat host-numpy buffer that rides the dispatch
+    # (ObjectsPipeline.prepare — measured faster than producer-thread
+    # device_put on the serialized tunnel, 2.4 vs 1.5 img/s); the REAL
+    # loops incl. transport are measured by tools/measure_e2e_oake.py.
     image, meta, masks, gimages, gmeta = jax.device_put(
         (image, meta, masks, np.ascontiguousarray(gimages), gmeta),
         device,

@@ -42,13 +42,13 @@ import numpy as np
 import PIL.Image
 
 from ..base import Categories
+# ImageNet/caffe normalization constants (configs/dp/datasets/
+# ov_coco.py:9-13) are defined ONCE in detector.py and shared with the
+# fused on-device path (detector.ingest_images) so the host oracle and
+# production normalization can never desynchronize.
+from ..models.detector import IMG_MEAN, IMG_STD
 from ..ops import boxes as B
 from ..utils import PthAccessLayer, Store, logger
-
-# ImageNet/caffe normalization used by all DP configs
-# (configs/dp/datasets/ov_coco.py:9-13)
-IMG_MEAN = np.asarray([123.675, 116.28, 103.53], np.float32)
-IMG_STD = np.asarray([58.395, 57.12, 57.375], np.float32)
 
 
 class CocoDetDataset:

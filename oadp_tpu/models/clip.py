@@ -446,8 +446,10 @@ def image_encoder_surgery(
     )  # (B, P+1): patch biases then the side token's own (zero)
     bias = bias_flat[:, None, None, :]
     use_side_kernel = fused_side_attention_supported(heads, D // heads)
+    from ..ops.attention import fused_ln_mlp_rows_supported
     use_fused_surgery = (
-        fused_surgery_layer_supported(heads, D // heads)
+        (fused_surgery_layer_supported(heads, D // heads)
+         and fused_ln_mlp_rows_supported(B, D))
         or interpret_fused
     )
 

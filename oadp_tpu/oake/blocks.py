@@ -32,11 +32,9 @@ class BlocksPipeline(BaseOakePipeline):
         self.max_levels = int(self.config.get('max_levels', 6))
         self.max_blocks = int(self.config.get('max_blocks', 48))
         # images per dispatch: the per-image program is tiny (~25 crops
-        # of 50 tokens) and dispatch-bound; the per-size constants are
-        # per-ITEM inputs so mixed sizes share one compiled program
-        # 24 images/dispatch: the per-crop programs are tiny (50-token
-        # ViT forwards) so per-dispatch overhead is a real fraction of
-        # the batch; measured 219 -> 305+ img/s going 8 -> 24 on v5e
+        # of 50 tokens) and dispatch-bound, so batch wide — measured
+        # 219 -> 305+ img/s going 8 -> 24 on v5e. Per-size constants
+        # are per-ITEM inputs so mixed sizes share one compiled program
         self.device_batch = int(self.config.get('batch_size', 24))
         # flat-block bucket sizes (one compilation each); COCO batches
         # of 24 landscape/portrait images land in the 576-768 range

@@ -84,7 +84,7 @@ def run_objects(root, ann, prop, out, log_every=4):
     return time.time() - t0, pipe
 
 
-def run_globals(root, ann, out, pipe=None):
+def run_globals(root, ann, out):
     from oadp_tpu.oake.globals import GlobalsPipeline
     from oadp_tpu.utils import Config
 

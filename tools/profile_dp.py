@@ -98,6 +98,113 @@ def main() -> None:
 
     timeit('+ RPN loss + proposals (NMS)', f_props, params, stats)
 
+    # --- isolated RoI-stage timings on a RESIDENT pyramid -------------
+    from oadp_tpu.models import heads as HEADS
+
+    pyr_fn = jax.jit(
+        lambda p, s: DET._extract(p, s, batch['images'], config, True)[0]
+    )
+    pyramid = pyr_fn(params, stats)
+    np.asarray(pyramid[0][:1, :1, :1, :4])  # sync
+
+    r = config.rcnn_samples
+    o, kk = 256, 64  # production object/block roi padding (synthetic.py)
+    n_rois = r + o + kk
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(0, 1200, (b, n_rois))
+    y0 = rng.uniform(0, 700, (b, n_rois))
+    w = rng.uniform(8, 400, (b, n_rois))
+    rois = np.stack(
+        [x0, y0, np.minimum(x0 + w, 1344), np.minimum(y0 + w, 832)], -1
+    ).astype(np.float32)
+    rois = jax.device_put(rois, device)
+
+    @jax.jit
+    def f_align(pyr, rr):
+        return tsum(DET._roi_feats(pyr, rr))
+
+    timeit(f'RoIAlign packed ({n_rois} rois/img)', f_align, pyramid, rois)
+
+    packed = jax.jit(DET._roi_feats)(pyramid, rois)
+    np.asarray(packed[:1, :1, :1, :1, :4])
+    flat_bbox = jax.jit(
+        lambda f: f[:, :r].reshape(b * r, *f.shape[2:])
+    )(packed)
+    flat_obj = jax.jit(
+        lambda f: f[:, r:r + o].reshape(b * o, *f.shape[2:])
+    )(packed)
+    ones_bbox = jax.device_put(np.ones(b * r, bool), device)
+    ones_obj = jax.device_put(np.ones(b * o, bool), device)
+
+    @jax.jit
+    def f_bbox_tower(p, s, f, m):
+        lg, rg, pj, _ = HEADS.convfc_forward(
+            p['bbox_head'], s['bbox_head'], f, config.bbox_head, True,
+            valid=m,
+        )
+        out = tsum(lg) + tsum(pj)
+        return out + (tsum(rg) if rg is not None else 0.0)
+
+    timeit('bbox tower fwd (1024 rois)', f_bbox_tower,
+           params, stats, flat_bbox, ones_bbox)
+
+    @jax.jit
+    def f_obj_tower(p, s, f, m):
+        lg, rg, pj, _ = HEADS.convfc_forward(
+            p['object_head'], s['object_head'], f, config.object_head,
+            True, valid=m,
+        )
+        return tsum(lg) + tsum(pj)
+
+    timeit('object tower fwd (512 rois)', f_obj_tower,
+           params, stats, flat_obj, ones_obj)
+
+    @jax.jit
+    def f_bbox_tower_grad(p, s, f, m):
+        def loss_fn(pp):
+            lg, rg, pj, _ = HEADS.convfc_forward(
+                pp['bbox_head'], s['bbox_head'], f, config.bbox_head,
+                True, valid=m,
+            )
+            out = tsum(lg) + tsum(pj)
+            return out + (tsum(rg) if rg is not None else 0.0)
+
+        total, grads = jax.value_and_grad(loss_fn)(p)
+        return total + tsum(grads['bbox_head'])
+
+    timeit('bbox tower fwd+bwd (1024 rois)', f_bbox_tower_grad,
+           params, stats, flat_bbox, ones_bbox)
+
+    # RPN pieces on resident scores/deltas
+    sd_fn = jax.jit(
+        lambda p, pyr: RPN.rpn_forward(p['rpn'], pyr)
+    )
+    scores, deltas = sd_fn(params, pyramid)
+    np.asarray(scores[0][:1, :1, :1])
+    anc_list = [jax.device_put(a, device) for a in anchors]
+    anc_cat = jax.device_put(np.concatenate(anchors), device)
+
+    @jax.jit
+    def f_rpn_loss(sc, dl):
+        return tsum(RPN.rpn_loss(
+            key, list(sc), list(dl), anc_cat,
+            batch['gt_boxes'], batch['gt_valid'], batch['img_hw'],
+            config.rpn_samples, config.rpn_pos_fraction,
+        ))
+
+    timeit('rpn_loss alone', f_rpn_loss, scores, deltas)
+
+    @jax.jit
+    def f_rpn_props(sc, dl):
+        props, _, pv = RPN.rpn_proposals(
+            list(sc), list(dl), anc_list, batch['img_hw'],
+            nms_pre=config.rpn_train_nms_pre,
+            max_per_img=config.rpn_train_max,
+        )
+        return jnp.sum(props) + jnp.sum(pv)
+
+    timeit('rpn_proposals alone (train NMS)', f_rpn_props, scores, deltas)
+
     # 4. full forward_train (losses only)
     @jax.jit
     def f_full(p, s):

@@ -4,9 +4,9 @@ The fused kernels + linear GEMMs account for ~19.3 ms/layer; the full
 encoder runs ~24 ms/layer.  This times LICM-proof scan loops (input
 perturbed per iteration) of encoder variants to attribute the gap:
 
-* production (folded-LN MLP on the main stream, see
-  ``clip._mlp_ln_folded``)
-* unfolded (the pre-fold ``_mlp(_layer_norm(x))`` formulation)
+* production surgery encoder (fused Pallas layers + XLA MLP; the
+  LN-folded MLP variant was measured 2 ms/iter SLOWER and removed —
+  XLA already fuses the LN into the GEMM epilogue, see CLAUDE.md)
 * stock encoder at the same geometry (no side stream)
 
 Usage: python tools/profile_encoder_glue.py [batch]
@@ -78,23 +78,10 @@ def main() -> None:
         print(f'{name:44s} {dt / ITERS:8.2f} ms/iter')
         return dt / ITERS
 
-    base = timeit(
-        'surgery encoder (production, folded LN)',
+    timeit(
+        'surgery encoder (production)',
         lambda p, c, m: C.image_encoder_surgery(p, c, m, s_config),
     )
-
-    real_folded = C._mlp_ln_folded
-    C._mlp_ln_folded = lambda x, ln_p, mlp_p, eps=1e-5: C._mlp(
-        C._layer_norm(x, ln_p), mlp_p
-    )
-    try:
-        unfolded = timeit(
-            'unfolded (ln_2 materialized)',
-            lambda p, c, m: C.image_encoder_surgery(p, c, m, s_config),
-        )
-    finally:
-        C._mlp_ln_folded = real_folded
-    print(f'  -> folded-LN win: {unfolded - base:.2f} ms/iter')
 
     timeit(
         'stock encoder (same geometry)',
