@@ -158,6 +158,13 @@ def main(argv=None) -> None:
     maybe_initialize_distributed()  # reference NCCL init: oadp/dp/train.py:61-63
     enable_compilation_cache()
     Globals.categories = {'coco': coco, 'lvis': lvis}[config.categories]
+    # env-info dump, the reference's collect_env log (oadp/dp/train.py:82-84)
+    import oadp_tpu
+    logger.info(
+        'env: oadp_tpu %s, jax %s, backend %s, %d process(es)',
+        oadp_tpu.__version__, jax.__version__, jax.default_backend(),
+        jax.process_count(),
+    )
     logger.info('devices: %s', jax.devices())
 
     bundle = build_detector(

@@ -503,6 +503,24 @@ class Trainer:
                 },
                 force=True,
             )
+        # Self-describing checkpoint meta (framework version + class
+        # names), the reference's ``checkpoint_config.meta`` contract
+        # (``oadp/dp/train.py:105-108`` embeds mmdet_version + CLASSES).
+        # Written beside the orbax dir so its layout stays untouched.
+        import json
+
+        import oadp_tpu
+        from ..base import Globals
+        cats = getattr(Globals, 'categories', None)
+        meta = {
+            'oadp_tpu_version': oadp_tpu.__version__,
+            'jax_version': jax.__version__,
+            'step': int(state.step),
+            'classes': list(cats.all_) if cats is not None else None,
+        }
+        path.with_name(f'{path.name}.meta.json').write_text(
+            json.dumps(meta)
+        )
         latest = self.work_dir / 'latest.txt'
         latest.write_text(str(path))
         logger.info('saved checkpoint %s', path)

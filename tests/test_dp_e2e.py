@@ -114,6 +114,15 @@ def test_train_cli_dry_run(in_workdir):
     work = root / 'work_dirs' / 'dry_run' / 'e2e'
     assert (work / 'config.py').exists()
     assert (work / 'latest.txt').exists()
+    # checkpoint meta is self-describing: version + class names
+    # (reference embeds mmdet_version + CLASSES, oadp/dp/train.py:105-108)
+    import json
+    ckpt_dir = (work / 'latest.txt').read_text().strip()
+    meta = json.loads(
+        (work / (ckpt_dir.rsplit('/', 1)[-1] + '.meta.json')).read_text()
+    )
+    assert meta['classes'] is not None and len(meta['classes']) == 65
+    assert meta['oadp_tpu_version']
     log = (work / 'train.log').read_text()
     assert 'iter 7/7' in log
     # every loss present in the log line
