@@ -168,7 +168,7 @@ def bench_oake() -> dict:
     # measured host-prep ceiling of the reference (see module docstring)
     sys.path.insert(0, str(pathlib.Path(__file__).parent))
     from tools.measure_reference_hostprep import measure_ms_per_crop
-    ms_per_crop = measure_ms_per_crop(256, pad)
+    ms_per_crop, items = measure_ms_per_crop(256, pad, itemize=True)
     baseline = 2.0 / (ms_per_crop / 1000.0 * mini)
     return {
         'metric': 'oake_images_per_sec_per_chip',
@@ -178,6 +178,11 @@ def bench_oake() -> dict:
         'baseline': round(baseline, 3),
         'baseline_kind': 'measured reference host-prep ceiling '
                          '(img/s/GPU, 2 workers)',
+        # auditable composition of the denominator (ms/crop): JPEG
+        # decode (amortized), PIL crop+preprocess+mask, per-image
+        # torch.stack collation — all reference worker-side costs
+        # (oadp/oake/objects.py:116-186)
+        'baseline_ms_per_crop': items,
         'vs_1_imgs_est': round(imgs_per_sec / 1.0, 3),
         'runs': runs,
     }

@@ -33,8 +33,17 @@ sys.path.insert(0, '')
 
 
 def measure_ms_per_crop(
-    n_crops: int = 512, pad: int = 640, crops_per_image: int = 1024
-) -> float:
+    n_crops: int = 512, pad: int = 640, crops_per_image: int = 1024,
+    itemize: bool = False,
+):
+    """ms per crop of the reference worker's ``__getitem__``.
+
+    With ``itemize=True`` returns ``(ms_per_crop, items)`` where
+    ``items`` splits the total into ``decode`` (JPEG, amortized per
+    crop), ``prep`` (PIL crop + CLIP preprocess + mask), and ``stack``
+    (the per-image ``torch.stack``/``torch.cat`` collation) — so the
+    baseline's composition is auditable, not a single opaque number.
+    """
     import io
 
     import PIL.Image
@@ -104,6 +113,7 @@ def measure_ms_per_crop(
         decode_s = min(decode_s, time.perf_counter() - t0)
 
     best = float('inf')
+    best_stack = 0.0
     for _ in range(5):
         t0 = time.perf_counter()
         objects, masks = [], []
@@ -123,12 +133,24 @@ def measure_ms_per_crop(
         # objects.py:180-186: torch.stack(objects) of 1024x3x224x224
         # fp32 ~ 590 MB/image + torch.cat(masks)) — real memcpy the
         # dataloader workers pay per image
+        t_stack = time.perf_counter()
         torch.stack(objects)
         torch.cat(masks)
+        t_end = time.perf_counter()
         del objects, masks
-        best = min(best, time.perf_counter() - t0)
-    best += decode_s * n_crops / crops_per_image
-    return best / n_crops * 1000.0
+        if t_end - t0 < best:
+            best = t_end - t0
+            best_stack = t_end - t_stack
+    decode = decode_s * n_crops / crops_per_image
+    total_ms = (best + decode) / n_crops * 1000.0
+    if itemize:
+        items = {
+            'decode': round(decode / n_crops * 1000.0, 4),
+            'prep': round((best - best_stack) / n_crops * 1000.0, 4),
+            'stack': round(best_stack / n_crops * 1000.0, 4),
+        }
+        return total_ms, items
+    return total_ms
 
 
 def measure_blocks_ms_per_image(
@@ -214,11 +236,14 @@ def main() -> None:
     parser.add_argument('--workers', type=int, default=2,
                         help='reference num_workers (configs/oake/base.py)')
     args = parser.parse_args()
-    ms = measure_ms_per_crop(args.crops)
+    ms, items = measure_ms_per_crop(
+        args.crops, crops_per_image=args.crops_per_image, itemize=True
+    )
     ceiling = args.workers / (ms / 1000.0 * args.crops_per_image)
     print(json.dumps({
         'metric': 'reference_hostprep_ceiling_img_per_sec_per_gpu',
         'ms_per_crop': round(ms, 3),
+        'ms_per_crop_items': items,
         'workers': args.workers,
         'crops_per_image': args.crops_per_image,
         'value': round(ceiling, 3),
