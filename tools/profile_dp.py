@@ -180,7 +180,7 @@ def main() -> None:
         lambda p, pyr: RPN.rpn_forward(p['rpn'], pyr)
     )
     scores, deltas = sd_fn(params, pyramid)
-    np.asarray(scores[0][:1, :1, :1])
+    np.asarray(scores[0][:1, :1])
     anc_list = [jax.device_put(a, device) for a in anchors]
     anc_cat = jax.device_put(np.concatenate(anchors), device)
 
