@@ -217,6 +217,25 @@ def test_roi_align_matches_oracle():
         np.testing.assert_allclose(out[i], expected, atol=1e-4)
 
 
+def test_roi_align_preserves_activation_dtype():
+    """RoIAlign must return the feature dtype: fp32 interpolation
+    weights once silently promoted the RoI features — and with them the
+    whole downstream RCNN tower path — to fp32 (fixed by folding the
+    weights into the feature dtype). Guard both policies."""
+    rng = np.random.default_rng(0)
+    rois = jnp.asarray([[4.0, 4.0, 40.0, 40.0], [0.0, 0.0, 60.0, 30.0]])
+    for dtype in (jnp.bfloat16, jnp.float32):
+        feats = [
+            jnp.asarray(
+                rng.standard_normal((64 // (2 ** i), 80 // (2 ** i), 8))
+                .astype(np.float32), dtype=dtype,
+            )
+            for i in range(4)
+        ]
+        out = R.roi_align_fpn(feats, rois)
+        assert out.dtype == dtype
+
+
 # -- assigner / sampler ------------------------------------------------------
 
 
