@@ -107,9 +107,10 @@ def _roi_align_packed(
     # AND the 1/s^2 sample mean all fold into a single (R, out, s,
     # out, s, 4) weight tensor — so no (R, out, s, out, s, C) fp32
     # intermediates are materialized (4 separate fp32 weighted adds +
-    # a mean pass measured ~2.3x slower at the production RoI batch),
-    # and the output stays in the (bf16) activation dtype instead of
-    # silently promoting the downstream RCNN towers to fp32.
+    # a mean pass measured 28.7 -> 23.3 ms, ~1.23x, at the production
+    # 832-RoI train batch), and the output stays in the (bf16)
+    # activation dtype instead of silently promoting the downstream
+    # RCNN towers to fp32.
     idx = jnp.stack(
         [flat(yl, xl), flat(yl, xh), flat(yh, xl), flat(yh, xh)],
         axis=-1,

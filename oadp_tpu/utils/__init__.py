@@ -6,7 +6,6 @@ from .logging import (
     logger,
 )
 from .pth import PthAccessLayer, load_pth, save_pth
-from .registry import Registry
 from .store import Store
 
 __all__ = [
@@ -20,6 +19,5 @@ __all__ = [
     'PthAccessLayer',
     'load_pth',
     'save_pth',
-    'Registry',
     'Store',
 ]
