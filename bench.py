@@ -17,10 +17,13 @@ reference's per-proposal host preprocessing (PIL crop → bicubic resize
 (``configs/oake/base.py:7``), so per GPU it cannot exceed
 ``workers / (ms_per_crop × 1024)`` img/s no matter how fast the GPU is.
 ``tools/measure_reference_hostprep.py`` measures ms_per_crop with the
-exact torch/PIL ops — ~2.9 ms on this host → ~0.68 img/s/GPU — and the
-measurement is re-run inline here each time (``baseline`` field). The
-conservative round-1 comparison against a flat 1.0 img/s/GPU is kept
-as ``vs_1_imgs_est``.
+exact torch/PIL ops. The denominator of record is PINNED
+(``tools/pinned_baselines.json``: median of N idle-host trials, written
+by ``tools/pin_baselines.py``) because the inline re-measure drifted
+±35% with host load between rounds; the inline number is still
+reported (``baseline_inline``) for drift auditing. The conservative
+round-1 comparison against a flat 1.0 img/s/GPU is kept as
+``vs_1_imgs_est``.
 
 Line 2: the DP train step — full OADP detector (ResNet50+FPN+RPN+RCNN +
 OV heads, all losses + torch-SGD update) at the production geometry
@@ -36,6 +39,18 @@ import sys
 import time
 
 import numpy as np
+
+
+def _pinned() -> dict:
+    """Pinned reference host-prep ceilings (median-of-N idle-host
+    measurement, ``tools/pin_baselines.py``). The inline re-measure
+    drifted ±35% with host load across rounds; ``vs_baseline`` divides
+    by these constants and the inline number is reported alongside as
+    ``baseline_inline`` for drift auditing."""
+    path = pathlib.Path(__file__).parent / 'tools' / 'pinned_baselines.json'
+    if path.exists():
+        return json.loads(path.read_text())
+    return {}
 
 
 def bench_oake() -> dict:
@@ -169,17 +184,28 @@ def bench_oake() -> dict:
     sys.path.insert(0, str(pathlib.Path(__file__).parent))
     from tools.measure_reference_hostprep import measure_ms_per_crop
     ms_per_crop, items = measure_ms_per_crop(256, pad, itemize=True)
-    baseline = 2.0 / (ms_per_crop / 1000.0 * mini)
+    inline = 2.0 / (ms_per_crop / 1000.0 * mini)
+    # PINNED denominator (median-of-N idle-host measurement) — the
+    # inline re-measure swung ±35% with host load between rounds
+    pin = _pinned().get('objects', {})
+    baseline = float(
+        pin.get('ceiling_img_per_sec_per_gpu', 0)
+    ) or inline
     return {
         'metric': 'oake_images_per_sec_per_chip',
         'value': round(imgs_per_sec, 3),
         'unit': 'images/sec/chip (1024 proposals + 1 global per image)',
         'vs_baseline': round(imgs_per_sec / baseline, 3),
         'baseline': round(baseline, 3),
-        'baseline_kind': 'measured reference host-prep ceiling '
-                         '(img/s/GPU, 2 workers)',
-        # auditable composition of the denominator (ms/crop): JPEG
-        # decode (amortized), PIL crop+preprocess+mask, per-image
+        'baseline_kind': 'PINNED measured reference host-prep ceiling '
+                         '(img/s/GPU, 2 workers; median-of-N idle-host '
+                         'trials, tools/pinned_baselines.json)',
+        # this run's host re-measure of the same ceiling, for drift
+        # auditing — the ratio of record divides by the pin above
+        'baseline_inline': round(inline, 3),
+        'vs_baseline_inline': round(imgs_per_sec / inline, 3),
+        # auditable composition of the inline denominator (ms/crop):
+        # JPEG decode (amortized), PIL crop+preprocess+mask, per-image
         # torch.stack collation — all reference worker-side costs
         # (oadp/oake/objects.py:116-186)
         'baseline_ms_per_crop': items,
@@ -233,19 +259,27 @@ def bench_blocks() -> dict:
 
     fin(run_batch())  # compile
     fin(run_batch())  # warm
-    n = 4  # batches
+    # 8-batch windows with TWO batches in flight: at ~66 ms of device
+    # work per 24-image batch, one tunnel round trip (~25-60 ms) is a
+    # big fraction of a batch — a single in-flight slot exposes part of
+    # each fetch (measured 247-315 img/s run-to-run on the same
+    # program); a 2-deep pipeline keeps the device queue full across
+    # the fetch.
+    n = 8  # batches per timed window
 
     def timed_run() -> float:
         t0 = time.perf_counter()
-        pending = run_batch()
-        for _ in range(n - 1):
+        pend1 = run_batch()
+        pend2 = run_batch()
+        for _ in range(n - 2):
             nxt = run_batch()
-            fin(pending)
-            pending = nxt
-        fin(pending)
+            fin(pend1)
+            pend1, pend2 = pend2, nxt
+        fin(pend1)
+        fin(pend2)
         return n * bsz / (time.perf_counter() - t0)
 
-    runs = [round(timed_run(), 3) for _ in range(3)]  # see bench_oake
+    runs = [round(timed_run(), 3) for _ in range(4)]  # see bench_oake
     imgs_per_sec = max(runs)
 
     sys.path.insert(0, str(pathlib.Path(__file__).parent))
@@ -253,7 +287,11 @@ def bench_blocks() -> dict:
         measure_blocks_ms_per_image,
     )
     ms = measure_blocks_ms_per_image()
-    baseline = 2.0 / (ms / 1000.0)
+    inline = 2.0 / (ms / 1000.0)
+    pin = _pinned().get('blocks', {})
+    baseline = float(
+        pin.get('ceiling_img_per_sec_per_gpu', 0)
+    ) or inline
     return {
         'metric': 'oake_blocks_images_per_sec_per_chip',
         'value': round(imgs_per_sec, 3),
@@ -261,8 +299,12 @@ def bench_blocks() -> dict:
                 'whole image, one device program)',
         'vs_baseline': round(imgs_per_sec / baseline, 3),
         'baseline': round(baseline, 3),
-        'baseline_kind': 'measured reference blocks host-prep ceiling '
-                         '(img/s/GPU, 2 workers)',
+        'baseline_kind': 'PINNED measured reference blocks host-prep '
+                         'ceiling (img/s/GPU, 2 workers; median-of-N '
+                         'idle-host trials, '
+                         'tools/pinned_baselines.json)',
+        'baseline_inline': round(inline, 3),
+        'vs_baseline_inline': round(imgs_per_sec / inline, 3),
         'runs': runs,
     }
 

@@ -631,9 +631,16 @@ class Loader:
             batches = [batches[i] for i in order]
         return batches[self.process_index::self.process_count]
 
-    def epoch(self, epoch: int = 0) -> Iterator[dict[str, Any]]:
-        """Yield batches with background prefetch."""
-        batches = self._index_batches(epoch)
+    def epoch(self, epoch: int = 0, start: int = 0) -> Iterator[dict[str, Any]]:
+        """Yield batches with background prefetch.
+
+        ``start`` skips the first ``start`` batches WITHOUT building
+        them — the deterministic-resume path re-enters an epoch at the
+        checkpointed position (the batch order is a pure function of
+        ``(seed, epoch)``, so the remaining order is identical to the
+        uninterrupted run's).
+        """
+        batches = self._index_batches(epoch)[start:]
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
 
         def worker():

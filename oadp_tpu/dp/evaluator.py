@@ -53,6 +53,7 @@ class DetEvaluator:
         bf16: bool = False,
         eval_type: str = 'ov_coco',
         n_devices: int = 0,
+        work_dir: pathlib.Path | str | None = None,
     ) -> None:
         self.dataset = dataset
         self.config = config
@@ -60,6 +61,10 @@ class DetEvaluator:
         self.batch_size = batch_size
         self.bf16 = bf16
         self.eval_type = eval_type
+        # multi-host gather exchange root: the work dir is the one path
+        # every rank already shares (checkpoints/logs live there) — /tmp
+        # is per-host and would strand non-rank-0 parts
+        self.work_dir = work_dir
         # batches shard over a 1-D data mesh (replacing the reference's
         # per-rank DDP test loop, oadp/dp/test.py:65-85); batch_size
         # must be a multiple of n_devices
@@ -246,7 +251,11 @@ class DetEvaluator:
         """Multi-host result gather over the shared filesystem (the
         reference all-gathers python dicts over NCCL,
         ``oadp/dp/test_nni.py:144-150``; OAKE-style file exchange keeps
-        this backend-free). Single-process: identity.
+        this backend-free). Single-process: identity. The exchange root
+        defaults to the run's ``work_dir`` — the path every rank
+        already shares — falling back to ``Store.DUMP`` and only then
+        to ``/tmp`` (which is per-host, so a real multi-host run
+        without a work dir would time out waiting for remote parts).
 
         Each part is written to a temp file then atomically renamed, so
         a part's existence implies it is complete — no partial reads.
@@ -270,7 +279,11 @@ class DetEvaluator:
         DetEvaluator._gather_round += 1
         root = pathlib.Path(
             root if root is not None
-            else (Store.DUMP or tempfile.gettempdir())
+            else (
+                self.work_dir
+                or Store.DUMP
+                or tempfile.gettempdir()  # single-host last resort
+            )
         ) / 'eval_gather'
         root.mkdir(parents=True, exist_ok=True)
         final = root / f'round{rnd:04d}_part_{pi:04d}.pkl'

@@ -10,6 +10,7 @@ reference ``oadp/dp/test_nni.py``).
 __all__ = ['main', 'parse_args']
 
 import argparse
+import pathlib
 
 import jax
 
@@ -75,6 +76,13 @@ def main(argv=None) -> dict:
         n_devices=(
             int(config.get('trainer', Config()).get('n_devices', 0))
             or jax.local_device_count()
+        ),
+        # multi-host gather root: the checkpoint's directory is the one
+        # path every rank demonstrably shares (they all just read the
+        # checkpoint from it)
+        work_dir=(
+            pathlib.Path(args.checkpoint).parent
+            if args.checkpoint and args.checkpoint != 'none' else None
         ),
     )
     metrics = evaluator.run(bundle.params, bundle.stats)

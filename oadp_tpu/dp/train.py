@@ -112,7 +112,9 @@ def build_train_loader(config: Config, categories, model_cfg) -> Loader:
     )
 
 
-def build_evaluator(config: Config, categories, bundle, bf16: bool):
+def build_evaluator(
+    config: Config, categories, bundle, bf16: bool, work_dir=None,
+):
     val_cfg = config.validator.dataloader.dataset
     dataset = CocoDetDataset(
         val_cfg.ann_file, val_cfg.img_prefix, categories, test_mode=True
@@ -130,6 +132,7 @@ def build_evaluator(config: Config, categories, bundle, bf16: bool):
         eval_type='lvis' if config.categories == 'lvis' else 'ov_coco',
         bf16=bf16,
         n_devices=_n_devices(config),
+        work_dir=work_dir,
     )
 
 
@@ -176,7 +179,9 @@ def main(argv=None) -> None:
 
     loader = build_train_loader(config, Globals.categories, config.model)
     bf16 = bool(config.trainer.get('bf16', Store.TPU))
-    evaluator = build_evaluator(config, Globals.categories, bundle, bf16)
+    evaluator = build_evaluator(
+        config, Globals.categories, bundle, bf16, work_dir=work_dir,
+    )
     trainer = Trainer(
         bundle, config.trainer, loader, work_dir,
         evaluator=evaluator, bf16=bf16,
@@ -197,6 +202,8 @@ def main(argv=None) -> None:
             stats=restored['stats'],
             bufs=restored['bufs'],
             step=int(restored['step']),
+            key_data=restored.get('key'),
+            win=restored.get('win'),
         )
         logger.info('resumed from %s @ step %d',
                     config.trainer.resume_from, resume.step)

@@ -224,6 +224,13 @@ class TrainState:
     stats: Params
     bufs: Params
     step: int
+    # deterministic-resume extras (reference: mmdet's resume_from
+    # restores the runner iteration + optimizer state so training
+    # continues as if uninterrupted, configs/dp/base.py:11): the raw
+    # RNG key data (jax.random.key_data) and the cumulative metric
+    # window vector. None on fresh starts / legacy checkpoints.
+    key_data: Any = None
+    win: Any = None
 
 
 class Trainer:
@@ -392,6 +399,19 @@ class Trainer:
             step=0,
         )
         step = state.step
+        # deterministic resume: continue the exact RNG stream and the
+        # cumulative metric window from the checkpoint (fresh start:
+        # seed-derived key, zero window)
+        key = (
+            jax.random.wrap_key_data(jnp.asarray(state.key_data))
+            if state.key_data is not None
+            else jax.random.key(self.seed)
+        )
+        win0 = (
+            jnp.asarray(state.win, jnp.float32)
+            if state.win is not None
+            else jnp.zeros(_VEC_PAD, jnp.float32)
+        )
         # the WHOLE training state rides one donated device carry:
         # (params, stats, bufs, step, rng key, cumulative metric vec).
         # The host loop issues exactly ONE async dispatch per step (the
@@ -404,20 +424,32 @@ class Trainer:
             jax.device_put(state.stats, self.repl),
             jax.device_put(state.bufs, self.repl),
             jax.device_put(jnp.asarray(step, jnp.int32), self.repl),
-            jax.device_put(jax.random.key(self.seed), self.repl),
-            jax.device_put(jnp.zeros(_VEC_PAD, jnp.float32), self.repl),
+            jax.device_put(key, self.repl),
+            jax.device_put(win0, self.repl),
         )
         t0 = time.time()
         win_n = 0
-        prev_cum = np.zeros(_VEC_PAD, np.float32)
+        prev_cum = np.asarray(win0)
         epoch = step // epoch_len
+        # re-enter the interrupted epoch at the checkpointed batch
+        # position — the loader's order is a pure function of
+        # (seed, epoch), so the remaining stream matches the
+        # uninterrupted run's
+        skip = step % epoch_len
 
         def sync_state():
             state.params, state.stats, state.bufs = carry[:3]
             state.step = step
+            state.key_data = jax.random.key_data(carry[4])
+            state.win = carry[5]
 
         while step < max_iters:
-            for batch in self.loader.epoch(epoch):
+            batches = (
+                self.loader.epoch(epoch, start=skip) if skip
+                else self.loader.epoch(epoch)
+            )
+            skip = 0
+            for batch in batches:
                 if step >= max_iters:
                     break
                 canvas = datasets.batch_canvas(batch)
@@ -492,6 +524,16 @@ class Trainer:
     def save(self, state: TrainState) -> None:
         import orbax.checkpoint as ocp
         path = (self.work_dir / f'ckpt_{state.step}').absolute()
+        key_data = (
+            np.asarray(state.key_data) if state.key_data is not None
+            else np.asarray(
+                jax.random.key_data(jax.random.key(self.seed))
+            )
+        )
+        win = (
+            np.asarray(state.win, np.float32) if state.win is not None
+            else np.zeros(_VEC_PAD, np.float32)
+        )
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(
                 path,
@@ -500,6 +542,10 @@ class Trainer:
                     'stats': state.stats,
                     'bufs': state.bufs,
                     'step': np.asarray(state.step),
+                    # deterministic resume: the RNG stream position and
+                    # the cumulative metric window
+                    'key': key_data,
+                    'win': win,
                 },
                 force=True,
             )
@@ -533,4 +579,19 @@ class Trainer:
         if path.is_file():  # latest.txt pointer
             path = pathlib.Path(path.read_text().strip())
         with ocp.StandardCheckpointer() as ckptr:
-            return ckptr.restore(path.absolute(), template)
+            full = dict(template)
+            if 'key' not in full:
+                # current checkpoints carry the RNG stream + metric
+                # window (deterministic resume); round-3-era ones don't
+                full['key'] = np.zeros(
+                    np.asarray(
+                        jax.random.key_data(jax.random.key(0))
+                    ).shape,
+                    np.uint32,
+                )
+                full['win'] = np.zeros(_VEC_PAD, np.float32)
+                try:
+                    return ckptr.restore(path.absolute(), full)
+                except Exception:
+                    return ckptr.restore(path.absolute(), template)
+            return ckptr.restore(path.absolute(), full)

@@ -120,6 +120,99 @@ def test_eval_hook_by_epoch(tmp_path):
     assert len(calls) == 2, calls
 
 
+def test_deterministic_resume(tmp_path):
+    """ckpt@6 -> resume -> 2 more steps must equal 8 uninterrupted
+    steps BITWISE on params/bufs/stats: the checkpoint carries the RNG
+    stream position + metric window, and ``fit`` re-enters the
+    interrupted epoch at the checkpointed batch (the reference resumes
+    runner iteration + optimizer via mmdet ``resume_from``,
+    configs/dp/base.py:11)."""
+    from tests.test_multichip import _mini_setup
+
+    from oadp_tpu.dp.builder import DetectorBundle
+    from oadp_tpu.dp.trainer import Trainer, TrainState
+    from oadp_tpu.utils import Config
+
+    config, params, stats, anchors, batch = _mini_setup()
+    rng = np.random.default_rng(5)
+    # 4 DISTINCT per-position batches: a resume that restarts the epoch
+    # or lands at the wrong position changes the data stream and the
+    # final params
+    batches = []
+    for _ in range(4):
+        b = {k: v[:4] for k, v in batch.items()}
+        b['images'] = (
+            b['images']
+            + rng.standard_normal(b['images'].shape).astype(np.float32)
+        )
+        batches.append(b)
+
+    class _Loader:
+        def __len__(self):
+            return 4  # epoch length; step 6 resumes mid-epoch (skip=2)
+
+        def epoch(self, epoch, start=0):
+            for b in batches[start:]:
+                yield dict(b)
+
+    def make_trainer(work_dir, ckpt_interval):
+        trainer_cfg = Config({
+            'optimizer': {'lr': 0.001},
+            'lr_config': {'by_epoch': False, 'step': [100]},
+            'runner': {'type': 'IterBasedRunner', 'max_iters': 8},
+            'log_config': {'interval': 3},  # exercises the window fetch
+            'checkpoint_config': {
+                'by_epoch': False, 'interval': ckpt_interval,
+            },
+            'n_devices': 1,
+            'seed': 11,
+        })
+        # fit() donates its carry — give each trainer its own copy of
+        # the shared init arrays
+        copy = lambda t: jax.tree.map(lambda x: jnp.array(x), t)  # noqa: E731
+        return Trainer(
+            DetectorBundle(config, copy(params), copy(stats)),
+            trainer_cfg, _Loader(), work_dir,
+        )
+
+    run_a = tmp_path / 'a'
+    run_b = tmp_path / 'b'
+    run_a.mkdir(), run_b.mkdir()
+    final_a = make_trainer(run_a, 1000).fit()  # uninterrupted 8 steps
+
+    make_trainer(run_b, 6).fit()  # writes ckpt_6 (epoch 1, position 2)
+    template = {
+        'params': params,
+        'stats': stats,
+        'bufs': jax.tree.map(jnp.zeros_like, params),
+        'step': 0,
+    }
+    restored = Trainer.restore(run_b / 'ckpt_6', template)
+    assert int(restored['step']) == 6
+    assert restored.get('key') is not None  # RNG stream position
+    resume = TrainState(
+        params=restored['params'],
+        stats=restored['stats'],
+        bufs=restored['bufs'],
+        step=6,
+        key_data=restored['key'],
+        win=restored['win'],
+    )
+    final_b = make_trainer(tmp_path / 'b2', 1000).fit(resume)
+
+    for name, tree_a, tree_b in (
+        ('params', final_a.params, final_b.params),
+        ('bufs', final_a.bufs, final_b.bufs),
+        ('stats', final_a.stats, final_b.stats),
+    ):
+        for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    # the metric window is cumulative across the resume too
+    assert np.array_equal(
+        np.asarray(final_a.win), np.asarray(final_b.win)
+    )
+
+
 def test_synthetic_batch_boxes_stay_in_canvas():
     """make_train_batch must produce valid in-canvas boxes at any
     geometry — the 64x64 dry-run canvas previously crashed it and the
