@@ -25,6 +25,7 @@ Replaces the reference's mmdet dataset + pipeline stack
 __all__ = [
     'CocoDetDataset',
     'ClassBalancedWrapper',
+    'CorruptFeatureError',
     'LoadClipFeatures',
     'TrainTransform',
     'TestTransform',
@@ -139,9 +140,21 @@ class CocoDetDataset:
         return sample
 
 
+class CorruptFeatureError(RuntimeError):
+    """An OAKE feature file exists but cannot be read (truncated write,
+    disk fault). Training cannot regenerate features itself — the fix
+    is an OAKE re-run with ``auto_fix=True`` (reference contract:
+    ``oadp/oake/base.py:45-52``, README.md:211)."""
+
+
 class LoadClipFeatures:
     """OAKE feature loading (reference ``LoadCLIPFeatures``,
-    ``oadp/dp/datasets.py:137-214``)."""
+    ``oadp/dp/datasets.py:137-214``).
+
+    A corrupt/truncated ``.pth`` raises :class:`CorruptFeatureError`
+    naming the store and key; the loader propagates it so the run fails
+    loudly instead of silently truncating the epoch (the reference's
+    dataloader workers likewise propagate the ``torch.load`` error)."""
 
     def __init__(
         self,
@@ -161,15 +174,30 @@ class LoadClipFeatures:
             ]
             self._dry_key = sorted(set.intersection(*keys))[0]
 
+    @staticmethod
+    def _read(layer: PthAccessLayer, key: str, kind: str) -> Any:
+        try:
+            return layer[key]
+        except FileNotFoundError:
+            raise  # a MISSING file is a config/path problem, not corruption
+        except Exception as e:
+            raise CorruptFeatureError(
+                f'corrupt OAKE {kind} feature file for key {key!r} '
+                f'({e.__class__.__name__}: {e}); re-run the OAKE '
+                f'{kind} pipeline with auto_fix=True to regenerate it'
+            ) from e
+
     def __call__(
         self, sample: dict[str, Any], categories: Categories
     ) -> dict[str, Any]:
         key = self._dry_key or f'{sample["image_id"]:012d}'
         if self._globals is not None:
-            g = np.asarray(self._globals[key], np.float32)
+            g = np.asarray(
+                self._read(self._globals, key, 'globals'), np.float32
+            )
             sample['clip_global'] = g.reshape(-1)
         if self._blocks is not None:
-            blocks = self._blocks[key]
+            blocks = self._read(self._blocks, key, 'blocks')
             block_boxes = np.asarray(blocks['bboxes'], np.float32)
             sample['clip_blocks'] = np.asarray(
                 blocks['embeddings'], np.float32
@@ -191,7 +219,7 @@ class LoadClipFeatures:
                 labels[b_ids, gt_labels[keep][g_ids]] = True
                 sample['block_labels'] = labels
         if self._objects is not None:
-            objects = self._objects[key]
+            objects = self._read(self._objects, key, 'objects')
             boxes = np.asarray(objects['bboxes'], np.float32)
             emb = np.asarray(objects['embeddings'], np.float32)
             keep = B.filter_min_wh(boxes, 4, 4)
@@ -629,6 +657,14 @@ class Loader:
         if self.shuffle:
             order = rng.permutation(len(batches))
             batches = [batches[i] for i in order]
+        if self.process_count > 1 and len(batches) % self.process_count:
+            # every process MUST see the same number of batches: the
+            # train step is a collective program over the global mesh,
+            # so a process with one extra batch would hang the others.
+            # Repeat from the front (eval dedups by image id; train
+            # wraps anyway).
+            pad = self.process_count - len(batches) % self.process_count
+            batches = batches + batches[:pad]
         return batches[self.process_index::self.process_count]
 
     def epoch(self, epoch: int = 0, start: int = 0) -> Iterator[dict[str, Any]]:
@@ -658,8 +694,14 @@ class Loader:
                     for idxs in batches:
                         samples = list(pool.map(fetch, idxs))
                         q.put(self.builder(samples))
-            except Exception:  # pragma: no cover
+            except Exception as e:
+                # propagate to the consumer — swallowing the error here
+                # would silently END THE EPOCH EARLY (e.g. a corrupt
+                # OAKE feature file would quietly shrink training).
+                # torch's DataLoader workers likewise re-raise in the
+                # main process.
                 logger.exception('loader worker failed')
+                q.put(e)
             finally:
                 q.put(None)
 
@@ -669,6 +711,8 @@ class Loader:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def __len__(self) -> int:

@@ -66,16 +66,21 @@ class DetEvaluator:
         # is per-host and would strand non-rank-0 parts
         self.work_dir = work_dir
         # batches shard over a 1-D data mesh (replacing the reference's
-        # per-rank DDP test loop, oadp/dp/test.py:65-85); batch_size
-        # must be a multiple of n_devices
-        devices = jax.devices()[:n_devices or 1]
+        # per-rank DDP test loop, oadp/dp/test.py:65-85); batch_size is
+        # PER PROCESS and must be a multiple of the local device count
+        if jax.process_count() > 1:
+            devices = jax.devices()  # global mesh (see Trainer)
+            local = jax.local_device_count()
+        else:
+            devices = jax.devices()[:n_devices or 1]
+            local = len(devices)
         self.mesh = Mesh(np.asarray(devices), ('data',))
         self.repl = NamedSharding(self.mesh, PartitionSpec())
         self.shard = NamedSharding(self.mesh, PartitionSpec('data'))
-        if batch_size % len(devices):
+        if batch_size % local:
             raise ValueError(
                 f'batch_size {batch_size} not divisible by '
-                f'{len(devices)} devices'
+                f'{local} local devices'
             )
         builder = BatchBuilder(
             canvas=canvas, with_clip=False,
@@ -96,6 +101,17 @@ class DetEvaluator:
 
     def _fn(self, canvas: tuple, pack_spec: tuple = ()):
         if canvas not in self._jit:
+            # Cold-start hazard: the full simple_test program (detector
+            # + calibrated ensemble + blocked multiclass NMS) takes
+            # ~14 min to compile on a v5e the FIRST time. The persisted
+            # compilation cache (utils.enable_compilation_cache, on by
+            # default in the CLIs) makes every later run seconds; warn
+            # so an apparently-hung eval is explainable.
+            logger.info(
+                'compiling eval program for canvas %s — first-ever '
+                'compile takes minutes (persisted compilation cache '
+                'makes reruns fast)', canvas,
+            )
             anchors = canvas_anchors(self.config, canvas)
             test_fn = functools.partial(
                 DET.simple_test,
@@ -120,14 +136,37 @@ class DetEvaluator:
             self._jit[canvas] = jax.jit(run)
         return self._jit[canvas]
 
+    def _replicate(self, tree):
+        """Replicate the model over the (possibly multi-process) mesh.
+
+        Arrays already on the global mesh (the in-train eval hands over
+        the trainer's carry) pass through untouched. In multi-process,
+        committed single-device arrays (e.g. orbax-restored checkpoints
+        in ``dp.test``) must round-trip through host memory — a direct
+        ``device_put`` to a non-addressable sharding is a cross-host
+        device transfer the CPU/TPU backends refuse.
+        """
+
+        def put(x):
+            if (
+                isinstance(x, jax.Array)
+                and x.sharding.is_equivalent_to(self.repl, x.ndim)
+            ):
+                return x
+            if jax.process_count() > 1 and isinstance(x, jax.Array):
+                x = np.asarray(x)
+            return jax.device_put(x, self.repl)
+
+        return jax.tree.map(put, tree)
+
     def run(self, params, stats) -> dict[str, float]:
         results: dict[int, list[dict]] = {}
         n_done = 0
         # replicate the model ONCE — a device_put inside the batch loop
         # would re-upload the full detector every batch (hundreds of MB
         # per step over a tunneled transport)
-        params = jax.device_put(params, self.repl)
-        stats = jax.device_put(stats, self.repl)
+        params = self._replicate(params)
+        stats = self._replicate(stats)
         # dispatch batch k, then fetch + postprocess batch k-1 while the
         # device runs k (the OAKE runner's proven overlap shape —
         # oake/base.py); `pending` holds one in-flight batch
@@ -151,8 +190,18 @@ class DetEvaluator:
                     for k, v in device_batch.items()
                 }
             # ONE batched put for the whole tree (tunneled transports
-            # serialize per-call round trips)
-            device_batch = jax.device_put(device_batch, self.shard)
+            # serialize per-call round trips). Multi-process: this
+            # process's rows form its local part of the global batch.
+            if jax.process_count() > 1:
+                device_batch = jax.tree.map(
+                    functools.partial(
+                        jax.make_array_from_process_local_data,
+                        self.shard,
+                    ),
+                    device_batch,
+                )
+            else:
+                device_batch = jax.device_put(device_batch, self.shard)
             out = self._fn(batch_canvas(batch), spec)(
                 params, stats, device_batch,
             )  # async dispatch
@@ -173,8 +222,20 @@ class DetEvaluator:
         detections = [d for res in results.values() for d in res]
         return self._metrics(detections)
 
+    @staticmethod
+    def _fetch_local(x) -> np.ndarray:
+        """Fetch THIS process's rows of a batch-sharded output (a
+        global sharded array is not fully addressable off-process;
+        each process postprocesses only the images it loaded)."""
+        if jax.process_count() == 1:
+            return np.asarray(x)
+        shards = sorted(
+            x.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], 0)
+
     def _consume(self, results, out, ids, scale, b) -> int:
-        out = jax.tree.map(np.asarray, out)  # fetch
+        out = jax.tree.map(self._fetch_local, out)  # fetch
         for i in range(b):
             img_id = int(ids[i])
             if img_id in results:

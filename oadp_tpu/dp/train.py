@@ -137,6 +137,12 @@ def build_evaluator(
 
 
 def main(argv=None) -> None:
+    # BEFORE any jax API (even process_index initializes the backend,
+    # after which distributed init is impossible) — reference NCCL
+    # init sits at the top of its main too (oadp/dp/train.py:61-63)
+    from ..utils import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     args = parse_args(argv)
     config: Config = args.config
     if args.override:
@@ -154,11 +160,18 @@ def main(argv=None) -> None:
         config.validator.dataloader['samples_per_gpu'] = 1
     work_dir = pathlib.Path('work_dirs') / name
     work_dir.mkdir(parents=True, exist_ok=True)
-    config.dump(work_dir / 'config.py')
-    add_file_handler(work_dir / 'train.log')
+    # multi-process: all ranks share work_dir — the resolved-config dump
+    # is rank 0's; each rank logs to its own file (rank 0 keeps the
+    # reference's train.log name)
+    if jax.process_index() == 0:
+        config.dump(work_dir / 'config.py')
+        add_file_handler(work_dir / 'train.log')
+    else:
+        add_file_handler(
+            work_dir / f'train.rank{jax.process_index()}.log'
+        )
 
-    from ..utils import enable_compilation_cache, maybe_initialize_distributed
-    maybe_initialize_distributed()  # reference NCCL init: oadp/dp/train.py:61-63
+    from ..utils import enable_compilation_cache
     enable_compilation_cache()
     Globals.categories = {'coco': coco, 'lvis': lvis}[config.categories]
     # env-info dump, the reference's collect_env log (oadp/dp/train.py:82-84)

@@ -23,6 +23,7 @@ __all__ = [
 ]
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable
 
@@ -298,8 +299,18 @@ class Trainer:
         # dir='...') — the reference stack has no tracing (SURVEY.md §5)
         self.profile = trainer_cfg.get('profile')
 
-        n_dev = int(trainer_cfg.get('n_devices', 0)) or len(jax.devices())
-        devices = jax.devices()[:n_dev]
+        if jax.process_count() > 1:
+            # multi-process (reference: torchrun DDP world,
+            # oadp/dp/train.py:61-63): the mesh MUST span every device
+            # of every process — collectives are inserted by XLA from
+            # the sharding; n_devices would otherwise select the first
+            # n GLOBAL device ids, which are not this process's
+            devices = jax.devices()
+        else:
+            n_dev = int(
+                trainer_cfg.get('n_devices', 0)
+            ) or len(jax.devices())
+            devices = jax.devices()[:n_dev]
         self.n_devices = len(devices)
         self.mesh = Mesh(np.asarray(devices), ('data',))
         self.repl = NamedSharding(self.mesh, PartitionSpec())
@@ -345,8 +356,14 @@ class Trainer:
             # a tunneled/remote backend every eager op (random.split,
             # jnp.asarray(step), a metric add) is a serialized ~25 ms
             # round trip, which cost ~40 ms/step before this shape.
-            params, stats, bufs, step, key, win = carry
-            key, sub = jax.random.split(key)
+            # The key rides as RAW uint32 data: a typed PRNG key can't
+            # device_put to a multi-process (non-addressable) sharding,
+            # and raw data is also what the checkpoint stores.
+            params, stats, bufs, step, key_data, win = carry
+            key, sub = jax.random.split(
+                jax.random.wrap_key_data(key_data)
+            )
+            key = jax.random.key_data(key)
             batch = {
                 k: jax.lax.with_sharding_constraint(v, shard)
                 for k, v in batch.items()
@@ -378,8 +395,17 @@ class Trainer:
         # numpy batch straight into the jitted call instead uploads
         # synchronously inside the dispatch (measured: 13 -> 11 img/s
         # on the tunneled chip); eager puts keep the device busy.
+        # Multi-process: each process holds only ITS loader's rows of
+        # the global batch (the loader shards batches by process), so
+        # the global sharded array is assembled from process-local data.
+        if jax.process_count() > 1:
+            put = functools.partial(
+                jax.make_array_from_process_local_data, self.shard
+            )
+        else:
+            put = functools.partial(jax.device_put, device=self.shard)
         return {
-            k: jax.device_put(v, self.shard)
+            k: put(v)
             for k, v in batch.items()
             if k not in ('image_ids', 'scale_factor', '_pack_spec')
         }
@@ -401,11 +427,12 @@ class Trainer:
         step = state.step
         # deterministic resume: continue the exact RNG stream and the
         # cumulative metric window from the checkpoint (fresh start:
-        # seed-derived key, zero window)
+        # seed-derived key, zero window). The carry holds the RAW key
+        # data (see _make_step).
         key = (
-            jax.random.wrap_key_data(jnp.asarray(state.key_data))
+            jnp.asarray(state.key_data)
             if state.key_data is not None
-            else jax.random.key(self.seed)
+            else jax.random.key_data(jax.random.key(self.seed))
         )
         win0 = (
             jnp.asarray(state.win, jnp.float32)
@@ -419,13 +446,24 @@ class Trainer:
         # on tunneled/remote backends every other eager op is a
         # serialized ~25 ms round trip (measured: this shape took the
         # real train CLI from ~13 to the modeled ~17 img/s).
+        def repl_put(tree):
+            # multi-process: committed single-device arrays (orbax
+            # restore) can't device_put straight onto a non-addressable
+            # replicated sharding — round-trip through host memory
+            def put(x):
+                if jax.process_count() > 1 and isinstance(x, jax.Array):
+                    x = np.asarray(x)
+                return jax.device_put(x, self.repl)
+
+            return jax.tree.map(put, tree)
+
         carry = (
-            jax.device_put(state.params, self.repl),
-            jax.device_put(state.stats, self.repl),
-            jax.device_put(state.bufs, self.repl),
+            repl_put(state.params),
+            repl_put(state.stats),
+            repl_put(state.bufs),
             jax.device_put(jnp.asarray(step, jnp.int32), self.repl),
-            jax.device_put(key, self.repl),
-            jax.device_put(win0, self.repl),
+            repl_put(key),
+            repl_put(win0),
         )
         t0 = time.time()
         win_n = 0
@@ -440,7 +478,7 @@ class Trainer:
         def sync_state():
             state.params, state.stats, state.bufs = carry[:3]
             state.step = step
-            state.key_data = jax.random.key_data(carry[4])
+            state.key_data = carry[4]  # already raw uint32 data
             state.win = carry[5]
 
         while step < max_iters:
@@ -549,6 +587,10 @@ class Trainer:
                 },
                 force=True,
             )
+        if jax.process_index() != 0:
+            # orbax's save above is cooperative (all processes write
+            # their shards); the sidecar meta/latest files are rank-0's
+            return
         # Self-describing checkpoint meta (framework version + class
         # names), the reference's ``checkpoint_config.meta`` contract
         # (``oadp/dp/train.py:105-108`` embeds mmdet_version + CLASSES).

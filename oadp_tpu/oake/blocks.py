@@ -86,7 +86,7 @@ class BlocksPipeline(BaseOakePipeline):
 
         whole_wx, whole_wy = P.clip_transform_matrices(w, h, None, pad, pad)
         bboxes = [first_block_bbox(w, h)] + plan.bboxes
-        device = jax.devices()[0]
+        device = jax.local_devices()[0]  # per-rank constants (multi-process safe)
         arrays = jax.device_put(
             (level_wx, level_wy, whole_wx, whole_wy), device
         )

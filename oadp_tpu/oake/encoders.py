@@ -61,7 +61,10 @@ def load_clip(
     # Initialization/conversion happens on the CPU backend: it is many
     # tiny ops, and dispatching them one-by-one to a (possibly remote)
     # accelerator is pathologically slow. One device_put at the end.
-    with jax.default_device(jax.devices('cpu')[0]):
+    # local_devices, not devices: in a multi-process job global device 0
+    # belongs to rank 0 and is non-addressable elsewhere (each OAKE rank
+    # owns its encoder copy — zero-collective index-space sharding)
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
         if state is not None:
             params, _ = C.convert_torch_state_dict(state)
         else:
@@ -80,7 +83,7 @@ def load_clip(
         )
         params, surgery_params = cast(params), cast(surgery_params)
     params, surgery_params = jax.device_put(
-        (params, surgery_params), jax.devices()[0]
+        (params, surgery_params), jax.local_devices()[0]
     )
     return ClipModel(params, config, surgery_params, surgery_config)
 

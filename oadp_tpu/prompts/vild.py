@@ -134,7 +134,7 @@ def main(argv=None) -> None:
     state = _load_torch_checkpoint(args.checkpoint)
     if state is None:
         raise SystemExit(f'cannot load CLIP checkpoint {args.checkpoint}')
-    with jax.default_device(jax.devices('cpu')[0]):
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
         _, text_params = C.convert_torch_state_dict(state)
     if not text_params:
         raise SystemExit('checkpoint has no text tower')

@@ -1,0 +1,130 @@
+"""REAL 2-process integration: ``jax.distributed`` train + eval.
+
+The reference spins up an NCCL process group on every entry point and
+all-gathers results (``oadp/dp/train.py:61-63``,
+``oadp/dp/test_nni.py:144-150``). This test runs the TPU-native
+equivalent with two actual OS processes on localhost: each rank
+initializes ``jax.distributed`` against a shared coordinator, gets 2
+virtual CPU devices (4-device global mesh), runs the real ``dp.train``
+CLI (sharded global batches assembled from process-local loader rows,
+XLA/Gloo cross-process grad collectives, cooperative orbax checkpoint,
+one in-train eval whose file gather roots at the shared work_dir) and
+the real ``dp.test`` CLI (rank 0 merges and evaluates; other ranks
+return empty).
+
+This is the only test that exercises ``process_count > 1`` for real —
+everything else mocks the topology (``tests/test_multichip.py``).
+"""
+
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import pytest
+
+torch = pytest.importorskip('torch')
+
+REPO = str(pathlib.Path(__file__).parent.parent)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_and_eval(tmp_path):
+    from tests.synthetic_data import make_synthetic_dp
+    from tests.test_dp_e2e import CFG_TEMPLATE
+
+    data = make_synthetic_dp(tmp_path)
+    cfg = tmp_path / 'config.py'
+    cfg.write_text(CFG_TEMPLATE.format(
+        vild=str(pathlib.Path(data['prompts']) / 'vild.pth'),
+        ml=str(pathlib.Path(data['prompts']) / 'ml.pth'),
+        ann=data['ann_file'],
+        img=data['root'],
+        oake=data['oake_root'],
+    ))
+
+    # OAKE globals config for the zero-collective sharded-extraction leg
+    oake_out = tmp_path / 'oake_out' / 'globals'
+    (tmp_path / 'oake_globals_cfg.py').write_text(f"""
+val = dict(
+    dataloader=dict(
+        dataset=dict(
+            root={data['root']!r},
+            annFile={data['ann_file']!r},
+            output_dir={str(oake_out)!r},
+        ),
+    ),
+)
+model = dict(
+    checkpoint=None,
+    max_image_size=320,  # synthetic images go up to 320x240
+    vit=dict(width=64, layers=2, heads=2, output_dim=32),
+)
+batch_size = 2
+log = dict(interval=4)
+""")
+
+    # subprocess env: scrub the axon TPU plugin (its sitecustomize
+    # registration overrides JAX_PLATFORMS=cpu — same trick as
+    # __graft_entry__.dryrun_multichip) and force 2 virtual CPU devices
+    # per process
+    env = {k: v for k, v in os.environ.items() if 'AXON' not in k}
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+    env['PYTHONUNBUFFERED'] = '1'
+    env.pop('DRY_RUN', None)  # explicit config controls all intervals
+
+    port = _free_port()
+    worker = str(pathlib.Path(__file__).parent / 'twoprocess_worker.py')
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, worker, str(pid), str(port), REPO,
+                str(tmp_path), str(cfg),
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f'rank {pid} failed (rc={p.returncode}):\n{out[-4000:]}'
+        )
+        assert f'TWOPROC_OK {{"pid": {pid}' in out, out[-2000:]
+
+    # rank 0 produced the merged triple OV summary; rank 1 none
+    assert '"n_metrics": 0' in outs[1]
+    import re
+    n0 = int(re.search(r'"n_metrics": (\d+)', outs[0]).group(1))
+    assert n0 >= 18  # 3 splits x 6 COCO metrics
+
+    # the eval gather rooted at the SHARED work_dir (not /tmp) and
+    # cleaned up its parts
+    gather = tmp_path / 'work_dirs' / 'twoproc' / 'eval_gather'
+    assert gather.exists()
+    assert not list(gather.glob('*.pkl'))
+    # both ranks checkpointed cooperatively
+    assert (tmp_path / 'work_dirs' / 'twoproc' / 'ckpt_4').exists()
+    # the OAKE leg produced one file per image across BOTH ranks'
+    # disjoint shards
+    import torch as _torch
+    feats = sorted(oake_out.glob('*.pth'))
+    assert len(feats) == 5, feats
+    emb = _torch.load(str(feats[0]), weights_only=False)
+    assert tuple(emb.shape) == (32,)  # vit output_dim, fp16 normalized

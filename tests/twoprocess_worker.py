@@ -1,0 +1,99 @@
+"""Worker process for the REAL 2-process integration test (not a test
+module — spawned by ``tests/test_two_process.py``).
+
+Each worker is one rank of a 2-process ``jax.distributed`` job on the
+CPU platform (2 virtual devices per process -> a 4-device global mesh),
+mirroring the reference's per-rank NCCL entry (``oadp/dp/train.py:61-63``).
+It runs the real ``dp.train`` CLI (with an in-train eval so the
+multi-host file gather runs mid-training) and then the real ``dp.test``
+CLI from the cooperative checkpoint.
+"""
+
+import json
+import os
+import pathlib
+import sys
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    repo = sys.argv[3]
+    scratch = pathlib.Path(sys.argv[4])
+    cfg = sys.argv[5]
+
+    sys.path.insert(0, repo)
+    os.chdir(scratch)
+
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=f'127.0.0.1:{port}',
+        num_processes=2,
+        process_id=pid,
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.local_device_count() == 2, jax.local_device_count()
+    assert jax.device_count() == 4, jax.device_count()
+
+    from oadp_tpu.dp import train
+
+    train.main([
+        'twoproc', cfg, '--override',
+        '.trainer.runner.max_iters:4',
+        '.trainer.n_devices:2',  # per-process loader sizing
+        '.trainer.evaluation.interval:4',  # one in-train eval + gather
+        '.trainer.checkpoint_config.interval:1000',
+    ])
+
+    # rank 0 publishes latest.txt after the (cooperative) orbax save;
+    # other ranks must not race the read
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices('twoproc_after_train')
+
+    work = scratch / 'work_dirs' / 'twoproc'
+    latest = (work / 'latest.txt').read_text().strip()
+    assert latest.endswith('ckpt_4'), latest
+
+    from oadp_tpu.dp import test as dptest
+
+    metrics = dptest.main([
+        cfg, latest, '--override', '.trainer.n_devices:2',
+    ])
+    if jax.process_index() == 0:
+        assert metrics, 'rank 0 must produce merged metrics'
+        assert 'COCO_48_17_bbox_mAP_50' in metrics, sorted(metrics)
+    else:
+        assert metrics == {}, 'non-zero ranks return empty metrics'
+
+    # OAKE leg: zero-collective index-space sharding — each rank
+    # extracts its interleaved share of the images and writes disjoint
+    # per-image files (reference DistributedSampler contract,
+    # oadp/oake/base.py:84-88)
+    oake_cfg = scratch / 'oake_globals_cfg.py'
+    if oake_cfg.exists():
+        from oadp_tpu.oake import globals as oake_globals
+
+        pipe = oake_globals.main(['twoproc_oake', str(oake_cfg)])
+        multihost_utils.sync_global_devices('twoproc_after_oake')
+        out_dir = pathlib.Path(
+            pipe.config.val.dataloader.dataset.output_dir
+        )
+        if jax.process_index() == 0:
+            n_imgs = len(json.loads(
+                pathlib.Path(
+                    pipe.config.val.dataloader.dataset.annFile
+                ).read_text()
+            )['images'])
+            files = list(out_dir.glob('*.pth'))
+            assert len(files) == n_imgs, (len(files), n_imgs)
+    print(
+        'TWOPROC_OK '
+        + json.dumps({'pid': pid, 'n_metrics': len(metrics)}),
+        flush=True,
+    )
+
+
+if __name__ == '__main__':
+    main()

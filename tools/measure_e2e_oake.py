@@ -60,7 +60,8 @@ def build_workspace(root: pathlib.Path, n_images: int, seed: int = 0):
     return ann, prop
 
 
-def run_objects(root, ann, prop, out, log_every=4):
+def run_objects(root, ann, prop, out, log_every=4, device_batch=2,
+                inflight=2):
     from oadp_tpu.oake.objects import ObjectsPipeline
     from oadp_tpu.utils import Config
 
@@ -76,6 +77,8 @@ def run_objects(root, ann, prop, out, log_every=4):
         model=dict(checkpoint=None, max_image_size=640),
         mini_batch_size=1024,
         expand_mode='ADAPTIVE',
+        batch_size=device_batch,
+        inflight=inflight,
         log=dict(interval=log_every),
     ))
     pipe = ObjectsPipeline('e2e_objects', cfg)
@@ -105,21 +108,33 @@ def run_globals(root, ann, out):
 
 
 def main():
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    workdir = pathlib.Path(
-        sys.argv[2] if len(sys.argv) > 2 else '/tmp/oake_e2e'
-    )
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('n_images', nargs='?', type=int, default=24)
+    parser.add_argument('workdir', nargs='?', default='/tmp/oake_e2e')
+    parser.add_argument('--device-batch', type=int, default=2,
+                        help='objects images per dispatch')
+    parser.add_argument('--inflight', type=int, default=2,
+                        help='batches in flight in the runner')
+    args = parser.parse_args()
+    n_images = args.n_images
+    workdir = pathlib.Path(args.workdir)
     from oadp_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
-    # warmup workspace (3 images): pays the compile, then the timed run
-    # measures the steady-state pipeline
-    for name, n in (('warm', 3), ('timed', n_images)):
+    # warmup workspace: pays the compile, then the timed run measures
+    # the steady-state pipeline (warm size covers >1 device batch)
+    for name, n in (('warm', max(3, args.device_batch + 1)),
+                    ('timed', n_images)):
         ws = workdir / name
         if ws.exists():
             shutil.rmtree(ws)
         ann, prop = build_workspace(ws, n, seed=7 if name == 'warm' else 0)
-        t_obj, _ = run_objects(ws, ann, prop, ws / 'out_objects')
+        t_obj, _ = run_objects(
+            ws, ann, prop, ws / 'out_objects',
+            device_batch=args.device_batch, inflight=args.inflight,
+        )
         t_glb, _ = run_globals(ws, ann, ws / 'out_globals')
         if name == 'timed':
             per_img = (t_obj + t_glb) / n
@@ -132,6 +147,8 @@ def main():
                         'GlobalsPipeline loops (decode/grid_mask/meta/'
                         'save included; 1024 proposals/image)',
                 'n_images': n,
+                'device_batch': args.device_batch,
+                'inflight': args.inflight,
             }), flush=True)
 
 
