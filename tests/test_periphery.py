@@ -148,3 +148,60 @@ def test_maybe_initialize_distributed_gated(monkeypatch):
     assert dist.maybe_initialize_distributed() is True
     assert dist.maybe_initialize_distributed() is True  # idempotent
     assert calls == [1]
+
+
+def test_detpro_repackager(tmp_path):
+    """``prompts.detpro`` repackages DetPro's LVIS row matrix with
+    annotation-spelling names in original category-id order (reference
+    ``oadp/prompts/detpro.py``), torch-loadable like every prompt
+    file."""
+    import numpy as np
+
+    from oadp_tpu.prompts import detpro
+    from oadp_tpu.utils import save_pth
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((4, 8)).astype(np.float32)
+    save_pth(emb, tmp_path / 'iou_neg5_ens.pth')
+    cats = [  # deliberately unsorted ids; names keep annotation spelling
+        dict(id=3, name='stero_equipment'),
+        dict(id=1, name='aerosol_can'),
+        dict(id=4, name='zucchini'),
+        dict(id=2, name='air_conditioner'),
+    ]
+    (tmp_path / 'lvis_val.json').write_text(
+        json.dumps(dict(categories=cats))
+    )
+    out = tmp_path / 'prompts' / 'detpro_lvis.pth'
+    detpro.main([
+        '--embeddings', str(tmp_path / 'iou_neg5_ens.pth'),
+        '--ann-file', str(tmp_path / 'lvis_val.json'),
+        '--output', str(out),
+    ])
+    import torch
+    pack = torch.load(str(out), weights_only=False)
+    assert pack['names'] == [
+        'aerosol_can', 'air_conditioner', 'stero_equipment', 'zucchini'
+    ]
+    np.testing.assert_array_equal(np.asarray(pack['embeddings']), emb)
+
+
+def test_detpro_row_count_mismatch(tmp_path):
+    """A category/row count mismatch must fail loudly, not silently
+    misalign every class embedding."""
+    import numpy as np
+    import pytest as _pytest
+
+    from oadp_tpu.prompts import detpro
+    from oadp_tpu.utils import save_pth
+
+    save_pth(np.zeros((3, 8), np.float32), tmp_path / 'e.pth')
+    (tmp_path / 'ann.json').write_text(json.dumps(dict(categories=[
+        dict(id=1, name='a'), dict(id=2, name='b')
+    ])))
+    with _pytest.raises(AssertionError):
+        detpro.main([
+            '--embeddings', str(tmp_path / 'e.pth'),
+            '--ann-file', str(tmp_path / 'ann.json'),
+            '--output', str(tmp_path / 'out.pth'),
+        ])
