@@ -151,6 +151,68 @@ def test_multiclass_nms():
     assert list(rows) == [0, 1, 2, 2]
 
 
+def _oracle_multiclass_nms(boxes, scores, score_thr, thr, max_per_img, c):
+    """mmdet multiclass_nms: per-class greedy over rows with
+    score > score_thr, merged, sorted by score, top max_per_img."""
+    out = []
+    for cls in range(c):
+        if boxes.shape[-1] == 4:
+            cb = boxes
+        else:
+            cb = boxes.reshape(len(boxes), c, 4)[:, cls]
+        sc = np.where(scores[:, cls] > score_thr, scores[:, cls],
+                      N.NEG_INF).astype(np.float32)
+        for i in _oracle_nms(cb.astype(np.float32), sc, thr):
+            out.append((sc[i], cb[i], cls, i))
+    out.sort(key=lambda t: -t[0])
+    out = out[:max_per_img]
+    return out
+
+
+def _check_multiclass_vs_oracle(boxes, scores, c, tile, max_per_img=40):
+    dets, labels, rows, valid = N.multiclass_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), score_thr=0.0,
+        iou_threshold=0.5, max_per_img=max_per_img, num_classes=c,
+        tile=tile,
+    )
+    nv = int(np.asarray(valid).sum())
+    want = _oracle_multiclass_nms(boxes, scores, 0.0, 0.5, max_per_img, c)
+    assert nv == len(want)
+    got = np.asarray(dets)[:nv]
+    np.testing.assert_allclose(
+        got[:, 4], [w[0] for w in want], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        got[:, :4], np.asarray([w[1] for w in want]), rtol=1e-5
+    )
+    assert list(np.asarray(labels)[:nv]) == [w[2] for w in want]
+    assert list(np.asarray(rows)[:nv]) == [w[3] for w in want]
+
+
+def test_multiclass_nms_random_oracle_multitile():
+    """Random boxes/scores, tile smaller than N (exercises the static
+    multi-tile path incl. cross-tile suppression), shared boxes."""
+    rng = np.random.default_rng(7)
+    n, c = 70, 5
+    xy = rng.uniform(0, 60, (n, 2))
+    boxes = np.concatenate([xy, xy + rng.uniform(8, 50, (n, 2))], -1)
+    boxes = boxes.astype(np.float32)
+    scores = rng.uniform(0, 1, (n, c + 1)).astype(np.float32)
+    scores[rng.uniform(size=(n, c + 1)) < 0.1] = 0.0  # score_thr=0 drops
+    _check_multiclass_vs_oracle(boxes, scores, c, tile=16)
+
+
+def test_multiclass_nms_per_class_boxes():
+    """The (N, C*4) per-class-box branch against the same oracle."""
+    rng = np.random.default_rng(8)
+    n, c = 40, 3
+    xy = rng.uniform(0, 60, (n, c, 2))
+    boxes = np.concatenate([xy, xy + rng.uniform(8, 50, (n, c, 2))], -1)
+    boxes = boxes.reshape(n, c * 4).astype(np.float32)
+    scores = rng.uniform(0, 1, (n, c + 1)).astype(np.float32)
+    _check_multiclass_vs_oracle(boxes, scores, c, tile=16)
+
+
 # -- RoIAlign ---------------------------------------------------------------
 
 

@@ -248,22 +248,27 @@ def test_write_dump_rescales_boxes():
     import numpy as np
     from oadp_tpu.dp.evaluator import DetEvaluator
 
-    out = {
-        'proposal_valid': np.array([[True, True, False]]),
-        'boxes': np.array(
-            [[[10.0, 20.0, 30.0, 40.0], [1, 2, 3, 4], [5, 5, 5, 5]]],
-            np.float32,
-        ),
-        'bbox_logits': np.zeros((1, 3, 4), np.float32),
-        'object_logits': np.zeros((1, 3, 4), np.float32),
-        'objectness': np.ones((1, 3), np.float32),
-    }
+    boxes = np.array(
+        [[10.0, 20.0, 30.0, 40.0], [1, 2, 3, 4], [5, 5, 5, 5]],
+        np.float32,
+    )
+    # single-fetch layout built by evaluator._fn:
+    # boxes(4) | bbox_logits(C+1) | object_logits(C+1) | obj(1) | valid(1)
+    packed = np.concatenate([
+        boxes,
+        np.zeros((3, 4), np.float32),
+        np.zeros((3, 4), np.float32),
+        np.ones((3, 1), np.float32),
+        np.array([[1.0], [1.0], [0.0]], np.float32),
+    ], -1)
     store = {}
     stub = type('Stub', (), {'_dump': store})()
     scale = np.array([2.0, 2.0, 2.0, 2.0], np.float32)
-    DetEvaluator._write_dump(stub, 7, out, 0, scale)
+    DetEvaluator._write_dump(stub, 7, packed, scale)
     rec = store['000000000007']
     np.testing.assert_allclose(
-        np.asarray(rec['bboxes'], np.float32),
-        out['boxes'][0][:2] / 2.0,
+        np.asarray(rec['bboxes'], np.float32), boxes[:2] / 2.0,
     )
+    assert rec['bbox_logits'].shape == (2, 4)
+    assert rec['object_logits'].shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(rec['objectness']), [1.0, 1.0])

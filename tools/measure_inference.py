@@ -1,0 +1,110 @@
+"""Measure DP inference (``models.detector.simple_test``) throughput on
+the real chip at the production eval geometry — the reproducible source
+of PARITY.md's "DP inference" line.
+
+The program is the full calibrated test path (backbone+FPN -> RPN
+proposals -> RoIAlign -> bbox/object towers -> lambda-calibrated
+ensemble -> blocked multiclass NMS), jitted exactly as
+``dp/evaluator.DetEvaluator`` builds it (uint8 canvases ingested on
+device). First-ever compile is ~14 min on a v5e; the persisted
+compilation cache makes reruns seconds (see ``dp/evaluator._fn``).
+
+Usage: ``python tools/measure_inference.py [batch]``
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from oadp_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    from oadp_tpu.dp.builder import canvas_anchors
+    from oadp_tpu.dp.synthetic import make_embeddings
+    from oadp_tpu.models import detector as DET
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    canvas = (832, 1344)  # the landscape eval canvas (dp/evaluator.py)
+    emb_dim = 512
+    config = DET.DetectorConfig.build(48, 65, backbone_style='caffe')
+    emb = make_embeddings(65, emb_dim)
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+        params, stats = DET.init_detector(
+            jax.random.key(0), config, jnp.asarray(emb)
+        )
+    device = jax.local_devices()[0]
+    params = jax.device_put(params, device)
+    stats = jax.device_put(stats, device)
+    anchors = canvas_anchors(config, canvas)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        'images': rng.integers(
+            0, 256, (b, *canvas, 3), np.uint8
+        ),
+        'img_hw': np.asarray([[800.0, 1333.0]] * b, np.float32),
+    }
+    batch = jax.device_put(batch, device)
+
+    def run(params, stats, batch):
+        batch = dict(batch)
+        batch['images'] = DET.ingest_images(batch['images'], jnp.bfloat16)
+        out = DET.simple_test(
+            params, stats, batch, config=config, level_anchors=anchors
+        )
+        # the evaluator's packed single-leaf fetch (dp/evaluator._fn):
+        # one tunnel round trip per batch instead of one per leaf
+        return jnp.concatenate([
+            jnp.asarray(out['dets'], jnp.float32),
+            jnp.asarray(out['labels'], jnp.float32)[..., None],
+            jnp.asarray(out['valid'], jnp.float32)[..., None],
+        ], -1)
+
+    fn = jax.jit(run)
+
+    def sync(out):
+        return jax.tree.map(np.asarray, out)
+
+    t0 = time.perf_counter()
+    sync(fn(params, stats, batch))  # compile
+    compile_s = time.perf_counter() - t0
+    sync(fn(params, stats, batch))  # warm
+
+    n = 10
+
+    def timed_run() -> float:
+        # dispatch-then-fetch-previous, one in flight (the evaluator's
+        # production overlap shape)
+        t0 = time.perf_counter()
+        pending = fn(params, stats, batch)
+        for _ in range(n - 1):
+            nxt = fn(params, stats, batch)
+            sync(pending)
+            pending = nxt
+        sync(pending)
+        return n * b / (time.perf_counter() - t0)
+
+    runs = [round(timed_run(), 3) for _ in range(3)]
+    print(json.dumps({
+        'metric': 'dp_inference_images_per_sec_per_chip',
+        'value': max(runs),
+        'unit': f'images/sec/chip (simple_test, batch {b}, '
+                f'{canvas[0]}x{canvas[1]}, bf16, calibrated ensemble + '
+                f'blocked multiclass NMS)',
+        'runs': runs,
+        'compile_s': round(compile_s, 1),
+    }), flush=True)
+
+
+if __name__ == '__main__':
+    main()
