@@ -25,9 +25,12 @@ reported (``baseline_inline``) for drift auditing. The conservative
 round-1 comparison against a flat 1.0 img/s/GPU is kept as
 ``vs_1_imgs_est``.
 
-Line 2: the DP train step — full OADP detector (ResNet50+FPN+RPN+RCNN +
-OV heads, all losses + torch-SGD update) at the production geometry
-(batch 2, 832x1344, bf16), images/sec/chip. Reference schedule context:
+Line 2 (blocks), line 3 (DP inference: the full calibrated
+``simple_test`` path incl. class-parallel multiclass NMS and the
+evaluator's packed single-leaf fetch), line 4: the DP train step — full
+OADP detector (ResNet50+FPN+RPN+RCNN + OV heads, all losses +
+torch-SGD update) at the production geometry (batch 2, 832x1344,
+bf16), images/sec/chip. Reference schedule context:
 ``configs/dp/schedules/40k.py``. Baseline: the reference trains OV-COCO
 at 16 images/iter across 8 GPUs with iteration times ~1.2 s (mmdet
 Faster R-CNN-class workloads on V100) => ~1.7 img/s/GPU.
@@ -387,6 +390,29 @@ def bench_dp_train() -> dict:
     }
 
 
+def bench_dp_inference() -> dict:
+    """DP inference (``simple_test``): full calibrated test path at the
+    production eval geometry, the evaluator's packed single-leaf fetch
+    (tools/measure_inference.py is the standalone reproducer). First-
+    ever compile is ~20 min on a v5e; the persisted compilation cache
+    (warm on this host) makes it seconds. Baseline: mmdet
+    ``single_gpu_test`` Faster R-CNN-class rates on V100 are ~5-8
+    img/s/GPU; 6.5 is the midpoint (estimated — the reference publishes
+    no throughput numbers)."""
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from tools.measure_inference import measure
+    out = measure(b=2, n=10, windows=3)
+    baseline = 6.5
+    out.update(
+        vs_baseline=round(out['value'] / baseline, 3),
+        baseline=baseline,
+        baseline_kind='estimated (mmdet single_gpu_test Faster R-CNN '
+                      'class rate on V100, 5-8 img/s/GPU midpoint; no '
+                      'measured reference ceiling available)',
+    )
+    return out
+
+
 def main() -> None:
     from oadp_tpu.utils import enable_compilation_cache
 
@@ -394,6 +420,7 @@ def main() -> None:
     print(json.dumps(bench_oake()), flush=True)
     for fn, metric in (
         (bench_blocks, 'oake_blocks_images_per_sec_per_chip'),
+        (bench_dp_inference, 'dp_inference_images_per_sec_per_chip'),
         (bench_dp_train, 'dp_train_images_per_sec_per_chip'),
     ):
         try:  # secondary metrics must not kill the primary

@@ -216,7 +216,8 @@ def _sorted_block_nms(
 
 
 @functools.partial(
-    jax.jit, static_argnames=('max_per_img', 'num_classes', 'tile')
+    jax.jit,
+    static_argnames=('max_per_img', 'num_classes', 'tile', 'class_chunk'),
 )
 def multiclass_nms(
     boxes: jnp.ndarray,  # (N, 4) or (N, C*4)
@@ -226,6 +227,7 @@ def multiclass_nms(
     max_per_img: int,
     num_classes: int,
     tile: int = 256,
+    class_chunk: int = 128,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """mmdet ``multiclass_nms``: per-class greedy NMS over the N x C
     candidate grid, then global top-``max_per_img``.
@@ -242,6 +244,11 @@ def multiclass_nms(
     65k candidates live) it walked up to 254 serial tiles, ~307 ms of a
     348 ms inference batch (tools/profile_inference2.py). This form is
     ~4 static tiles regardless of the score distribution.
+
+    Classes are processed in STATIC chunks of ``class_chunk`` so the
+    permuted matrices stay bounded at ``class_chunk * N^2`` bools: at
+    the OV-LVIS geometry (C=1203, N=1000) the unchunked form would
+    materialize ~1.2 GB per image; OV-COCO (C=65) is a single chunk.
 
     Returns ``(dets (M, 5), labels (M,), indices (M,), valid (M,))``
     where ``indices`` point into the original N rows.
@@ -261,23 +268,35 @@ def multiclass_nms(
         mat = _pair_iou(
             boxes.astype(jnp.float32), boxes.astype(jnp.float32)
         ) > iou_threshold  # (n, n)
-        # per-class row permutation: flat row-take, the TPU fast path
-        mrow = mat[order.reshape(-1)].reshape(c, n, n)
     else:
         cboxes = boxes.reshape(n, c, 4).astype(jnp.float32)
         cboxes = cboxes.transpose(1, 0, 2)  # (c, n, 4)
-        mat = jax.vmap(
-            lambda bb: _pair_iou(bb, bb) > iou_threshold
-        )(cboxes)
-        mrow = jax.vmap(lambda m, o: m[o])(mat, order)
-    # column permutation = row permutation of the transpose (row-takes
-    # again; an axis-2 take_along would lower to per-element gathers)
-    perm_t = jax.vmap(lambda m, o: m[o])(
-        mrow.transpose(0, 2, 1), order
-    )
-    mat_sorted = perm_t.transpose(0, 2, 1)  # (c, n, n), both axes sorted
 
-    keep = _sorted_block_nms(mat_sorted, sc_sorted, tile)  # (c, n)
+    def chunk_keep(order_k, lo, hi):
+        if shared_boxes:
+            # per-class row permutation: flat row-take, the fast path
+            mrow = mat[order_k.reshape(-1)].reshape(hi - lo, n, n)
+        else:
+            mk = jax.vmap(
+                lambda bb: _pair_iou(bb, bb) > iou_threshold
+            )(cboxes[lo:hi])
+            mrow = jax.vmap(lambda m, o: m[o])(mk, order_k)
+        # column permutation = row permutation of the transpose
+        # (row-takes again; an axis-2 take_along would lower to
+        # per-element gathers)
+        perm_t = jax.vmap(lambda m, o: m[o])(
+            mrow.transpose(0, 2, 1), order_k
+        )
+        mat_sorted = perm_t.transpose(0, 2, 1)  # both axes sorted
+        return _sorted_block_nms(
+            mat_sorted, sc_sorted[lo:hi], tile
+        )
+
+    keep = jnp.concatenate([
+        chunk_keep(order[lo:min(lo + class_chunk, c)],
+                   lo, min(lo + class_chunk, c))
+        for lo in range(0, c, class_chunk)
+    ], axis=0)  # (c, n)
     kept_scores = jnp.where(keep, sc_sorted, NEG_INF)
     k = min(max_per_img, c * n)
     top_sc, top_i = jax.lax.top_k(kept_scores.reshape(-1), k)

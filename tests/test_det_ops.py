@@ -169,11 +169,12 @@ def _oracle_multiclass_nms(boxes, scores, score_thr, thr, max_per_img, c):
     return out
 
 
-def _check_multiclass_vs_oracle(boxes, scores, c, tile, max_per_img=40):
+def _check_multiclass_vs_oracle(boxes, scores, c, tile, max_per_img=40,
+                                class_chunk=128):
     dets, labels, rows, valid = N.multiclass_nms(
         jnp.asarray(boxes), jnp.asarray(scores), score_thr=0.0,
         iou_threshold=0.5, max_per_img=max_per_img, num_classes=c,
-        tile=tile,
+        tile=tile, class_chunk=class_chunk,
     )
     nv = int(np.asarray(valid).sum())
     want = _oracle_multiclass_nms(boxes, scores, 0.0, 0.5, max_per_img, c)
@@ -200,6 +201,20 @@ def test_multiclass_nms_random_oracle_multitile():
     scores = rng.uniform(0, 1, (n, c + 1)).astype(np.float32)
     scores[rng.uniform(size=(n, c + 1)) < 0.1] = 0.0  # score_thr=0 drops
     _check_multiclass_vs_oracle(boxes, scores, c, tile=16)
+
+
+def test_multiclass_nms_class_chunks():
+    """LVIS-style many classes: the static class-chunk loop (chunk
+    smaller than C, uneven tail chunk) matches the oracle."""
+    rng = np.random.default_rng(9)
+    n, c = 30, 45
+    xy = rng.uniform(0, 60, (n, 2))
+    boxes = np.concatenate([xy, xy + rng.uniform(8, 50, (n, 2))], -1)
+    boxes = boxes.astype(np.float32)
+    scores = rng.uniform(0, 1, (n, c + 1)).astype(np.float32)
+    _check_multiclass_vs_oracle(
+        boxes, scores, c, tile=16, max_per_img=60, class_chunk=20,
+    )
 
 
 def test_multiclass_nms_per_class_boxes():
