@@ -634,7 +634,7 @@ class Loader:
         groups: dict[int, list[int]] = {0: [], 1: []}
         for i in range(len(self.dataset)):
             groups[self.dataset.aspect_group(i)].append(i)
-        batches = []
+        group_batches: list[list[list[int]]] = []
         for idx in groups.values():
             idx = np.asarray(idx)
             if self.shuffle:
@@ -650,22 +650,42 @@ class Loader:
                 pad = bs - n % bs
                 reps = np.tile(idx, -(-pad // n))[:pad]
                 idx = np.concatenate([idx, reps])
-            for j in range(0, len(idx) - bs + 1, bs):
-                batches.append(list(idx[j:j + bs]))
+            gb = [
+                list(idx[j:j + bs])
+                for j in range(0, len(idx) - bs + 1, bs)
+            ]
             if not self.shuffle and len(idx) % bs:
-                batches.append(list(idx[-(len(idx) % bs):]))
-        if self.shuffle:
-            order = rng.permutation(len(batches))
-            batches = [batches[i] for i in order]
-        if self.process_count > 1 and len(batches) % self.process_count:
-            # every process MUST see the same number of batches: the
-            # train step is a collective program over the global mesh,
-            # so a process with one extra batch would hang the others.
-            # Repeat from the front (eval dedups by image id; train
-            # wraps anyway).
-            pad = self.process_count - len(batches) % self.process_count
-            batches = batches + batches[:pad]
-        return batches[self.process_index::self.process_count]
+                gb.append(list(idx[-(len(idx) % bs):]))
+            group_batches.append(gb)
+        pc = self.process_count
+        if pc > 1:
+            # Lockstep alignment: the step-k batch on EVERY process
+            # must come from the same aspect group — the jitted
+            # train/eval program is canvas-keyed, and a multi-process
+            # mesh requires all processes to launch the SAME compiled
+            # collective program in the same order. So (a) pad each
+            # group's batch count to a multiple of pc by repeating
+            # whole batches from the group's front (every process also
+            # ends up with the same batch count — one extra batch on
+            # one rank would hang the others' collectives; eval dedups
+            # the repeats by image id at the rank-0 merge, train wraps
+            # anyway), then (b) emit rounds of pc same-group batches.
+            rounds: list[list[list[int]]] = []
+            for gb in group_batches:
+                if len(gb) % pc:
+                    pad = pc - len(gb) % pc
+                    gb = gb + [gb[i % len(gb)] for i in range(pad)]
+                rounds += [gb[j:j + pc] for j in range(0, len(gb), pc)]
+            if self.shuffle:
+                order = rng.permutation(len(rounds))
+                rounds = [rounds[i] for i in order]
+            batches = [b for r in rounds for b in r]
+        else:
+            batches = [b for gb in group_batches for b in gb]
+            if self.shuffle:
+                order = rng.permutation(len(batches))
+                batches = [batches[i] for i in order]
+        return batches[self.process_index::pc]
 
     def epoch(self, epoch: int = 0, start: int = 0) -> Iterator[dict[str, Any]]:
         """Yield batches with background prefetch.

@@ -160,7 +160,12 @@ class DetEvaluator:
                     res['masks'] = out['masks'].astype(jnp.float16)
                 return res
 
-            self._jit[canvas] = jax.jit(run)
+            # Pin the output to the batch sharding: nothing else forces
+            # XLA's choice for these small outputs, and _fetch_local
+            # reads each process's addressable shards as "the rows this
+            # process loaded" — a replicated output would hand every
+            # rank rank-0's rows.
+            self._jit[canvas] = jax.jit(run, out_shardings=self.shard)
         return self._jit[canvas]
 
     def _replicate(self, tree):
@@ -246,8 +251,7 @@ class DetEvaluator:
             logger.info('DUMP mode: wrote %d records, skipping metrics',
                         len(results))
             return {}
-        detections = [d for res in results.values() for d in res]
-        return self._metrics(detections)
+        return self._metrics(results)
 
     @staticmethod
     def _fetch_local(x) -> np.ndarray:
@@ -295,10 +299,23 @@ class DetEvaluator:
             results[img_id] = res
         return b
 
-    def _metrics(self, detections: list[dict]) -> dict[str, float]:
-        detections = self._gather(detections)
-        if detections is None:  # non-zero process: rank 0 evaluates
+    def _metrics(
+        self, results: dict[int, list[dict]]
+    ) -> dict[str, float]:
+        # Gather (image_id, detections) PAIRS and dedup by image id at
+        # the rank-0 merge: batch-count padding repeats whole batches,
+        # and a repeat can land on a DIFFERENT rank than the original
+        # (datasets.Loader._index_batches pads each aspect group to a
+        # multiple of process_count) — per-rank dedup in _consume can't
+        # see it, and double-counted images would silently inflate
+        # every duplicated TP into an extra unmatched FP.
+        parts = self._gather(sorted(results.items()))
+        if parts is None:  # non-zero process: rank 0 evaluates
             return {}
+        merged: dict[int, list[dict]] = {}
+        for img_id, res in parts:
+            merged.setdefault(img_id, res)
+        detections = [d for res in merged.values() for d in res]
         if self.eval_type == 'lvis':
             metrics = {}
             bbox_eval = LvisEvaluator(

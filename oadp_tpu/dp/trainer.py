@@ -439,6 +439,12 @@ class Trainer:
             if state.win is not None
             else jnp.zeros(_VEC_PAD, jnp.float32)
         )
+        if win0.shape != (_VEC_PAD,):
+            # a checkpoint written under a different _VEC_PAD: keep the
+            # leading entries (metric order is stable) and re-pad
+            win0 = jnp.zeros(_VEC_PAD, jnp.float32).at[
+                :min(win0.shape[0], _VEC_PAD)
+            ].set(win0[:_VEC_PAD])
         # the WHOLE training state rides one donated device carry:
         # (params, stats, bufs, step, rng key, cumulative metric vec).
         # The host loop issues exactly ONE async dispatch per step (the
@@ -491,15 +497,18 @@ class Trainer:
                 if step >= max_iters:
                     break
                 canvas = datasets.batch_canvas(batch)
-                key = (canvas, epoch_len)
-                if key not in self._step_fn:
-                    self._step_fn[key] = self._make_step(
+                step_key = (canvas, epoch_len)  # jit-cache key (NOT
+                # the RNG `key` above, which lives in the carry)
+                if step_key not in self._step_fn:
+                    self._step_fn[step_key] = self._make_step(
                         canvas, epoch_len,
                         batch.get('_pack_spec', ()),
                     )
                 if self.profile and step == int(self.profile['start']):
                     jax.profiler.start_trace(str(self.profile['dir']))
-                carry = self._step_fn[key](carry, self._device_batch(batch))
+                carry = self._step_fn[step_key](
+                    carry, self._device_batch(batch)
+                )
                 step += 1
                 win_n += 1
                 if self.profile and step == int(self.profile['stop']):
@@ -634,6 +643,27 @@ class Trainer:
                 full['win'] = np.zeros(_VEC_PAD, np.float32)
                 try:
                     return ckptr.restore(path.absolute(), full)
-                except Exception:
-                    return ckptr.restore(path.absolute(), template)
+                except ValueError as orig:
+                    # Fall back ONLY for a checkpoint that genuinely
+                    # lacks the extra leaves: the legacy-template
+                    # restore below SUCCEEDS exactly then (a checkpoint
+                    # that does carry key/win fails it with the inverse
+                    # mismatch, and a corrupt/renamed tree fails both).
+                    # Any other failure re-raises the original error —
+                    # a silent fallback would restart the RNG stream
+                    # and break deterministic resume with no trace.
+                    # (Template SHAPE mismatches don't land here:
+                    # orbax returns the stored array regardless of the
+                    # template's shape, so e.g. a _VEC_PAD change still
+                    # restores — fit() re-pads the window.)
+                    try:
+                        out = ckptr.restore(path.absolute(), template)
+                    except ValueError:
+                        raise orig from None
+                    logger.warning(
+                        'legacy checkpoint without RNG stream/metric '
+                        'window (%s): resume will restart the RNG '
+                        'stream — not bitwise-deterministic', path,
+                    )
+                    return out
             return ckptr.restore(path.absolute(), full)

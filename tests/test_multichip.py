@@ -165,6 +165,88 @@ def test_eval_gather_two_processes(tmp_path):
         )
 
 
+def test_loader_striping_canvas_aligned():
+    """Multi-process batch striping: every rank's step-k batch comes
+    from the SAME aspect group (the jitted program is canvas-keyed and
+    a multi-process mesh must launch identical collective programs in
+    lockstep), all ranks see the same batch count, and eval (no
+    shuffle) covers every image."""
+    from oadp_tpu.dp.datasets import Loader
+
+    class DS:
+        def __init__(self, groups):
+            self._g = groups
+
+        def __len__(self):
+            return len(self._g)
+
+        def aspect_group(self, i):
+            return self._g[i]
+
+    for shuffle in (False, True):
+        for n, pc, bs in [(5, 2, 2), (7, 2, 2), (9, 3, 2), (6, 2, 3)]:
+            groups = [i % 2 for i in range(n)]  # mixed orientations
+            ds = DS(groups)
+            per_rank = []
+            for pi in range(pc):
+                ld = Loader(
+                    ds, builder=None, batch_size=bs, transform=None,
+                    shuffle=shuffle, seed=3,
+                    process_index=pi, process_count=pc,
+                )
+                per_rank.append(ld._index_batches(0))
+            # same number of lockstep steps on every rank
+            assert len({len(r) for r in per_rank}) == 1, (shuffle, n, pc)
+            for k in range(len(per_rank[0])):
+                step_groups = {
+                    ds.aspect_group(i) for r in per_rank for i in r[k]
+                }
+                assert len(step_groups) == 1, (
+                    shuffle, n, pc, k,
+                    [r[k] for r in per_rank],
+                )
+            if not shuffle:  # eval: every image evaluated somewhere
+                seen = {i for r in per_rank for b in r for i in b}
+                assert seen == set(range(n)), (n, pc, seen)
+
+
+def test_metrics_dedup_across_ranks(monkeypatch):
+    """Batch-count padding can repeat a whole batch on a DIFFERENT
+    rank; the rank-0 merge must dedup by image id or every duplicated
+    TP becomes an extra unmatched FP."""
+    from oadp_tpu.dp import evaluator as EV
+
+    captured = {}
+
+    class FakeEval:
+        def __init__(self, *a, **k):
+            pass
+
+        def evaluate(self, detections):
+            captured['dets'] = detections
+
+    stub = type('Stub', (), {})()
+    stub.eval_type = 'ov_coco'
+    stub.dataset = type('D', (), {'dataset': None, 'cat_ids': [1]})()
+    stub.categories = type('C', (), {'num_bases': 1, 'num_novels': 1})()
+    # rank 0 saw images 1,2; rank 1 saw 3 plus a REPEAT of 1 (padding)
+    parts = [
+        (1, [dict(image_id=1, score=0.9)]),
+        (2, [dict(image_id=2, score=0.8)]),
+        (1, [dict(image_id=1, score=0.9)]),  # duplicate from rank 1
+        (3, [dict(image_id=3, score=0.7)]),
+    ]
+    stub._gather = lambda items: parts
+    monkeypatch.setattr(EV, 'CocoEvaluator', FakeEval)
+    monkeypatch.setattr(
+        EV, 'ov_coco_summary', lambda e, b, n: {'ok': 1.0}
+    )
+    out = EV.DetEvaluator._metrics(stub, {1: parts[0][1]})
+    assert out == {'ok': 1.0}
+    ids = sorted(d['image_id'] for d in captured['dets'])
+    assert ids == [1, 2, 3], ids  # image 1 counted exactly once
+
+
 def test_oake_interleave_partitions_ids(tmp_path, monkeypatch):
     """Index interleave over processes covers every image exactly once
     (reference DistributedSampler, ``oadp/oake/base.py:84-88``)."""

@@ -213,6 +213,43 @@ def test_deterministic_resume(tmp_path):
     )
 
 
+def test_restore_legacy_vs_corrupt(tmp_path):
+    """``Trainer.restore`` falls back ONLY for round-3-era checkpoints
+    that genuinely lack the RNG-stream/metric-window leaves; any other
+    template mismatch must raise instead of silently restarting the
+    RNG stream (which would break deterministic resume untraceably)."""
+    import orbax.checkpoint as ocp
+
+    from oadp_tpu.dp.trainer import Trainer
+
+    tpl = {
+        'params': {'w': np.zeros(3, np.float32)},
+        'step': np.asarray(0),
+    }
+    legacy = tmp_path / 'legacy'
+    with ocp.StandardCheckpointer() as c:
+        c.save(
+            legacy,
+            {
+                'params': {'w': np.arange(3, dtype=np.float32)},
+                'step': np.asarray(7),
+            },
+            force=True,
+        )
+    out = Trainer.restore(legacy, dict(tpl))
+    assert 'key' not in out and int(out['step']) == 7
+    np.testing.assert_array_equal(
+        out['params']['w'], np.arange(3, dtype=np.float32)
+    )
+    # a template leaf the checkpoint lacks (renamed param, wrong tree)
+    # is NOT a legacy checkpoint: surface the error
+    bad_tpl = dict(tpl)
+    bad_tpl['params'] = {'w': np.zeros(3, np.float32),
+                         'v': np.zeros(2, np.float32)}
+    with pytest.raises(ValueError):
+        Trainer.restore(legacy, bad_tpl)
+
+
 def test_synthetic_batch_boxes_stay_in_canvas():
     """make_train_batch must produce valid in-canvas boxes at any
     geometry — the 64x64 dry-run canvas previously crashed it and the

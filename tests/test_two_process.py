@@ -80,33 +80,47 @@ log = dict(interval=4)
     env['PYTHONUNBUFFERED'] = '1'
     env.pop('DRY_RUN', None)  # explicit config controls all intervals
 
-    port = _free_port()
     worker = str(pathlib.Path(__file__).parent / 'twoprocess_worker.py')
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable, worker, str(pid), str(port), REPO,
-                str(tmp_path), str(cfg),
-            ],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, env=env, cwd=REPO,
-        )
-        for pid in range(2)
-    ]
-    outs = []
+
+    def launch() -> list[str]:
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, worker, str(pid), str(port), REPO,
+                    str(tmp_path), str(cfg),
+                ],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=REPO,
+            )
+            for pid in range(2)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=1500)
+                outs.append(out)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, (
+                f'rank {pid} failed (rc={p.returncode}):\n{out[-4000:]}'
+            )
+            assert f'TWOPROC_OK {{"pid": {pid}' in out, out[-2000:]
+        return outs
+
     try:
-        for p in procs:
-            out, _ = p.communicate(timeout=1500)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, (
-            f'rank {pid} failed (rc={p.returncode}):\n{out[-4000:]}'
-        )
-        assert f'TWOPROC_OK {{"pid": {pid}' in out, out[-2000:]
+        outs = launch()
+    except AssertionError as e:
+        # Gloo's KV-store rendezvous has a HARDCODED 30 s deadline in
+        # the C++ layer; on this 1-core host a concurrently-loaded CPU
+        # can starve the handshake. That is infrastructure, not code
+        # under test — retry exactly once for that signature only.
+        if 'Gloo context initialization failed' not in str(e):
+            raise
+        outs = launch()
 
     # rank 0 produced the merged triple OV summary; rank 1 none
     assert '"n_metrics": 0' in outs[1]
