@@ -18,20 +18,20 @@ NEG_INF = -1e10
 
 
 def _pair_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """IoU of every box in ``a (T, 4)`` against every box in
-    ``b (M, 4)`` -> ``(T, M)``."""
-    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
-    rb = jnp.minimum(a[:, None, 2:4], b[None, :, 2:4])
+    """IoU of every box in ``a (..., T, 4)`` against every box in
+    ``b (..., M, 4)`` -> ``(..., T, M)`` (leading dims broadcast)."""
+    lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
+    rb = jnp.minimum(a[..., :, None, 2:4], b[..., None, :, 2:4])
     wh = jnp.clip(rb - lt, 0.0, None)
     inter = wh[..., 0] * wh[..., 1]
-    area_a = jnp.clip(a[:, 2] - a[:, 0], 0, None) * jnp.clip(
-        a[:, 3] - a[:, 1], 0, None
+    area_a = jnp.clip(a[..., 2] - a[..., 0], 0, None) * jnp.clip(
+        a[..., 3] - a[..., 1], 0, None
     )
-    area_b = jnp.clip(b[:, 2] - b[:, 0], 0, None) * jnp.clip(
-        b[:, 3] - b[:, 1], 0, None
+    area_b = jnp.clip(b[..., 2] - b[..., 0], 0, None) * jnp.clip(
+        b[..., 3] - b[..., 1], 0, None
     )
     return inter / jnp.maximum(
-        area_a[:, None] + area_b[None, :] - inter, 1e-6
+        area_a[..., :, None] + area_b[..., None, :] - inter, 1e-6
     )
 
 
@@ -160,37 +160,77 @@ def batched_nms(
     return nms(shifted, scores, iou_threshold, max_out)
 
 
-def _sorted_block_nms(
-    mat: jnp.ndarray,  # (..., n, n) bool — i suppresses j (i kept, i < j)
+def _pair_iou_soa(a, b) -> jnp.ndarray:
+    """IoU from structure-of-arrays coordinates: ``a``/``b`` are
+    4-tuples of ``(..., T)`` / ``(..., M)`` planes -> ``(..., T, M)``.
+    The AoS :func:`_pair_iou` broadcasts over a trailing dim of 2 (the
+    xy pairs), which wastes all but 2 of the VPU's 128 lanes when the
+    pair grid is recomputed per class; the SoA form keeps every
+    broadcast at full (..., T, M) lane width."""
+    ax0, ay0, ax1, ay1 = a
+    bx0, by0, bx1, by1 = b
+    col = lambda x: x[..., :, None]  # noqa: E731
+    row = lambda x: x[..., None, :]  # noqa: E731
+    iw = jnp.clip(
+        jnp.minimum(col(ax1), row(bx1)) - jnp.maximum(col(ax0), row(bx0)),
+        0.0, None,
+    )
+    ih = jnp.clip(
+        jnp.minimum(col(ay1), row(by1)) - jnp.maximum(col(ay0), row(by0)),
+        0.0, None,
+    )
+    inter = iw * ih
+    area_a = jnp.clip(ax1 - ax0, 0, None) * jnp.clip(ay1 - ay0, 0, None)
+    area_b = jnp.clip(bx1 - bx0, 0, None) * jnp.clip(by1 - by0, 0, None)
+    return inter / jnp.maximum(col(area_a) + row(area_b) - inter, 1e-6)
+
+
+def _sorted_block_nms_lazy(
+    sboxes: jnp.ndarray,  # (..., n, 4) — score-DESC-sorted boxes
     sc_sorted: jnp.ndarray,  # (..., n) — NEG_INF marks invalid
+    iou_threshold: float,
     tile: int,
 ) -> jnp.ndarray:
-    """Greedy keep set for score-DESC-sorted candidates, vectorized over
-    any leading axes (classes, batch). Same blocked-triangular-fixpoint
-    argument as :func:`nms`, but with a STATIC tile loop: the tile count
-    is ``ceil(n / tile)`` (4 at the production n=1000) instead of a
-    data-dependent serial scan — bounded device work no matter how the
-    scores are distributed."""
+    """Greedy keep set for score-DESC-sorted candidates, vectorized
+    over any leading axes (classes, batch), with the IoU computed
+    LAZILY per tile block/strip from the sorted boxes — the
+    (..., n, n) suppression matrix never exists. Same blocked-
+    triangular-fixpoint argument as :func:`nms`, but with a STATIC
+    tile loop (``ceil(n/tile)`` steps — 4 at the production n=1000)
+    instead of a data-dependent serial scan. The earlier matrix form
+    (kept for comparison in ``tools/profile_nms.py``) moved ~8
+    full-matrix passes through HBM per class chunk (two row-take
+    permutations at the ~75 GB/s gather rate plus two transposes plus
+    the fixpoint reads: measured 86.5 ms/image at the OV-LVIS geometry
+    C=1203, N=1000); here each tile recomputes its (tile, tile) block
+    and (tile, n-after) strip from four SoA coordinate planes and XLA
+    fuses the IoU straight into the ``any`` reduction — VPU-compute-
+    bound at full lane width instead of gather-bound."""
     n = sc_sorted.shape[-1]
     nt = -(-n // tile)
     pad = nt * tile - n
     if pad:
-        mat = jnp.pad(mat, (*[(0, 0)] * (mat.ndim - 2), (0, pad), (0, pad)))
+        # zero-box padding is inert: inter = 0 -> IoU 0 suppresses
+        # nothing, and the NEG_INF score keeps the row not-alive
+        sboxes = jnp.pad(
+            sboxes, (*[(0, 0)] * (sboxes.ndim - 2), (0, pad), (0, 0))
+        )
         sc_sorted = jnp.pad(
             sc_sorted, (*[(0, 0)] * (sc_sorted.ndim - 1), (0, pad)),
             constant_values=NEG_INF,
         )
+    planes = tuple(sboxes[..., i] for i in range(4))  # SoA (..., npad)
     alive = sc_sorted > NEG_INF / 2
     tri = jnp.triu(jnp.ones((tile, tile), bool), k=1)
     keeps = []
     for t in range(nt):
         a, b = t * tile, (t + 1) * tile
-        m = mat[..., a:b, a:b] & tri
+        tb = tuple(p[..., a:b] for p in planes)
+        m = (_pair_iou_soa(tb, tb) > iou_threshold) & tri
         talive = alive[..., a:b]
 
         # capped antitone fixpoint — see the rank-finality argument in
-        # :func:`nms`; converges in ~2-3 passes, provably exact at
-        # ``tile`` iterations
+        # :func:`nms`
         def inner_cond(c):
             k, prev, it = c
             return jnp.any(k != prev) & (it < tile)
@@ -205,8 +245,11 @@ def _sorted_block_nms(
         )
         keeps.append(k)
         if t + 1 < nt:
+            rest = tuple(p[..., b:] for p in planes)
             sup_later = jnp.any(
-                mat[..., a:b, b:] & k[..., :, None], axis=-2
+                (_pair_iou_soa(tb, rest) > iou_threshold)
+                & k[..., :, None],
+                axis=-2,
             )
             alive = jnp.concatenate(
                 [alive[..., :b], alive[..., b:] & ~sup_later], axis=-1
@@ -232,23 +275,27 @@ def multiclass_nms(
     """mmdet ``multiclass_nms``: per-class greedy NMS over the N x C
     candidate grid, then global top-``max_per_img``.
 
-    CLASS-PARALLEL formulation: the N x N IoU-suppression matrix is
-    built ONCE (classes share boxes in the OADP configs), permuted into
-    each class's score order with row-takes (the TPU gather fast path —
-    one on the matrix, one on its transpose for the columns), and all C
-    per-class greedy keep sets are computed together by a STATIC
-    ``ceil(N/tile)``-step blocked fixpoint (:func:`_sorted_block_nms`).
-    The previous formulation ran ONE serial blocked scan over the
-    flattened N*C candidates (offset trick): exact, but its early exit
-    is data-dependent — with near-uniform scores (score_thr=0 keeps all
-    65k candidates live) it walked up to 254 serial tiles, ~307 ms of a
-    348 ms inference batch (tools/profile_inference2.py). This form is
-    ~4 static tiles regardless of the score distribution.
+    CLASS-PARALLEL formulation: each class's candidate BOXES are
+    gathered into its score order (one flat row-take — the TPU gather
+    fast path — of (chunk*N, 4) floats, ~2 MB), and all C per-class
+    greedy keep sets are computed together by a STATIC
+    ``ceil(N/tile)``-step blocked fixpoint whose IoU blocks/strips are
+    recomputed lazily from the sorted boxes
+    (:func:`_sorted_block_nms_lazy`) — the (C, N, N) suppression matrix
+    never exists. Two earlier formulations were measured and rejected:
+    a serial blocked scan over the flattened N*C candidates (offset
+    trick) is exact but its early exit is data-dependent — with
+    near-uniform scores (score_thr=0 keeps all 65k candidates live) it
+    walked up to 254 serial tiles, ~307 ms of a 348 ms inference batch
+    (tools/profile_inference2.py); and permuting a precomputed N x N
+    bool matrix per class (row-takes + transposes) is
+    gather-bandwidth-bound — at the OV-LVIS geometry 86.5 vs 61 ms
+    single-dispatch (43.7 ms/img amortized inside a b=2 program), and
+    12.4 vs 9.5 ms per b=2 batch at OV-COCO (tools/profile_nms.py
+    carries the matrix form for A/B).
 
-    Classes are processed in STATIC chunks of ``class_chunk`` so the
-    permuted matrices stay bounded at ``class_chunk * N^2`` bools: at
-    the OV-LVIS geometry (C=1203, N=1000) the unchunked form would
-    materialize ~1.2 GB per image; OV-COCO (C=65) is a single chunk.
+    Classes are processed in STATIC chunks of ``class_chunk`` to bound
+    the largest fused intermediate (a (chunk, tile, N) IoU strip).
 
     Returns ``(dets (M, 5), labels (M,), indices (M,), valid (M,))``
     where ``indices`` point into the original N rows.
@@ -264,32 +311,27 @@ def multiclass_nms(
     sc_sorted = jnp.take_along_axis(sc_t, order, axis=-1)
 
     shared_boxes = boxes.shape[-1] == 4
-    if shared_boxes:
-        mat = _pair_iou(
-            boxes.astype(jnp.float32), boxes.astype(jnp.float32)
-        ) > iou_threshold  # (n, n)
-    else:
-        cboxes = boxes.reshape(n, c, 4).astype(jnp.float32)
-        cboxes = cboxes.transpose(1, 0, 2)  # (c, n, 4)
+    boxes_f32 = boxes.astype(jnp.float32)
+    if not shared_boxes:
+        # (c*n, 4) class-major so a flat row-take can pick any
+        # (class, sorted-position) pair
+        cboxes_flat = boxes_f32.reshape(n, c, 4).transpose(1, 0, 2)
+        cboxes_flat = cboxes_flat.reshape(c * n, 4)
 
     def chunk_keep(order_k, lo, hi):
+        # gather each class's boxes into its score order: ONE flat
+        # row-take (the TPU fast path; slice-shaped gathers serialize)
         if shared_boxes:
-            # per-class row permutation: flat row-take, the fast path
-            mrow = mat[order_k.reshape(-1)].reshape(hi - lo, n, n)
+            sb = boxes_f32[order_k.reshape(-1)]
         else:
-            mk = jax.vmap(
-                lambda bb: _pair_iou(bb, bb) > iou_threshold
-            )(cboxes[lo:hi])
-            mrow = jax.vmap(lambda m, o: m[o])(mk, order_k)
-        # column permutation = row permutation of the transpose
-        # (row-takes again; an axis-2 take_along would lower to
-        # per-element gathers)
-        perm_t = jax.vmap(lambda m, o: m[o])(
-            mrow.transpose(0, 2, 1), order_k
-        )
-        mat_sorted = perm_t.transpose(0, 2, 1)  # both axes sorted
-        return _sorted_block_nms(
-            mat_sorted, sc_sorted[lo:hi], tile
+            flat_idx = (
+                order_k
+                + (jnp.arange(lo, hi, dtype=order_k.dtype) * n)[:, None]
+            ).reshape(-1)
+            sb = cboxes_flat[flat_idx]
+        sb = sb.reshape(hi - lo, n, 4)
+        return _sorted_block_nms_lazy(
+            sb, sc_sorted[lo:hi], iou_threshold, tile
         )
 
     keep = jnp.concatenate([

@@ -217,6 +217,23 @@ def test_multiclass_nms_class_chunks():
     )
 
 
+def test_multiclass_nms_no_survivors():
+    """Every score at/below score_thr (strict >): zero valid rows,
+    zeroed dets, -1 labels — the static output shape intact."""
+    boxes = np.asarray(
+        [[0.0, 0, 10, 10], [20.0, 20, 40, 40]], np.float32
+    )
+    scores = np.full((2, 4), 0.05, np.float32)
+    dets, labels, rows, valid = N.multiclass_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), score_thr=0.05,
+        iou_threshold=0.5, max_per_img=5, num_classes=3,
+    )
+    assert not np.asarray(valid).any()
+    assert np.asarray(dets).shape == (5, 5)
+    np.testing.assert_array_equal(np.asarray(dets), 0.0)
+    assert list(np.asarray(labels)) == [-1] * 5
+
+
 def test_multiclass_nms_per_class_boxes():
     """The (N, C*4) per-class-box branch against the same oracle."""
     rng = np.random.default_rng(8)

@@ -15,23 +15,45 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def main() -> None:
+def tsum(tree):
+    """Sum-reduce every numeric leaf to ONE scalar — fetching real
+    outputs over the tunnel poisons timings (CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
 
-    from oadp_tpu.utils import enable_compilation_cache
-    enable_compilation_cache()
+    return sum(
+        jnp.sum(x.astype(jnp.float32))
+        for x in jax.tree.leaves(tree)
+        if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.number)
+    )
+
+
+def timeit(label, fn, *args, n=6):
+    import jax
+
+    f = jax.jit(fn)
+    np.asarray(f(*args))  # compile
+    np.asarray(f(*args))  # warm
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / n * 1000
+    print(f'{label:34s} {dt:8.2f} ms/batch', flush=True)
+    return dt
+
+
+def setup(b: int, canvas=(832, 1344)):
+    """Shared scaffold: detector params/stats on device (init on CPU —
+    per-op dispatch through the tunnel is ~1 s), anchors, resident
+    synthetic inputs. Used by profile_inference2.py too."""
+    import jax
+    import jax.numpy as jnp
 
     from oadp_tpu.dp.builder import canvas_anchors
     from oadp_tpu.dp.synthetic import make_embeddings
     from oadp_tpu.models import detector as DET
-    from oadp_tpu.models import rpn as RPN
-    from oadp_tpu.models.heads import convfc_forward
-    from oadp_tpu.ops.nms import multiclass_nms
-    from oadp_tpu.ops.roi_align import roi_align_fpn
 
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    canvas = (832, 1344)
     config = DET.DetectorConfig.build(48, 65, backbone_style='caffe')
     emb = make_embeddings(65, 512)
     with jax.default_device(jax.local_devices(backend='cpu')[0]):
@@ -42,30 +64,31 @@ def main() -> None:
     params = jax.device_put(params, device)
     stats = jax.device_put(stats, device)
     anchors = canvas_anchors(config, canvas)
-
     rng = np.random.default_rng(0)
     images_u8 = rng.integers(0, 256, (b, *canvas, 3), np.uint8)
     img_hw = np.asarray([[800.0, 1333.0]] * b, np.float32)
     images_u8, img_hw = jax.device_put((images_u8, img_hw), device)
+    return config, params, stats, anchors, images_u8, img_hw, device
 
-    def tsum(tree):
-        return sum(
-            jnp.sum(x.astype(jnp.float32))
-            for x in jax.tree.leaves(tree)
-            if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.number)
-        )
 
-    def timeit(label, fn, *args, n=6):
-        f = jax.jit(fn)
-        np.asarray(f(*args))  # compile
-        np.asarray(f(*args))  # warm
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = f(*args)
-        np.asarray(out)
-        dt = (time.perf_counter() - t0) / n * 1000
-        print(f'{label:34s} {dt:8.2f} ms/batch', flush=True)
-        return dt
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from oadp_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    from oadp_tpu.models import detector as DET
+    from oadp_tpu.models import rpn as RPN
+    from oadp_tpu.models.heads import convfc_forward
+    from oadp_tpu.ops.nms import multiclass_nms
+    from oadp_tpu.ops.roi_align import roi_align_fpn
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    canvas = (832, 1344)
+    config, params, stats, anchors, images_u8, img_hw, _ = setup(
+        b, canvas
+    )
 
     def f_ingest(u8):
         return tsum(DET.ingest_images(u8, jnp.bfloat16))

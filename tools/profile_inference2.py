@@ -1,16 +1,25 @@
 """Differential profile: simple_test minus the final multiclass NMS,
 and the NMS alone on the REAL in-program boxes/probs. Isolates where
 the ~300 ms gap between the staged sum (46 ms) and the full program
-(349 ms) lives.
+(349 ms) lived (round 4: the serial blocked NMS degenerating on flat
+score distributions — since replaced by the class-parallel form).
+
+NOTE: ``prenms`` below re-derives simple_test's calibrated-ensemble
+math inline because the differential method needs to STOP just before
+the NMS — a jitted simple_test can't be sliced. It mirrors
+``models/detector.py:simple_test`` as of round 4; if the ensemble
+changes there, update this copy (the FULL-program line is always
+authoritative).
 """
 
 import pathlib
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from tools.profile_inference import setup, timeit, tsum  # noqa: E402
 
 
 def main() -> None:
@@ -20,8 +29,6 @@ def main() -> None:
     from oadp_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
-    from oadp_tpu.dp.builder import canvas_anchors
-    from oadp_tpu.dp.synthetic import make_embeddings
     from oadp_tpu.models import detector as DET
     from oadp_tpu.models import rpn as RPN
     from oadp_tpu.models.heads import convfc_forward
@@ -30,40 +37,9 @@ def main() -> None:
 
     b = 2
     canvas = (832, 1344)
-    config = DET.DetectorConfig.build(48, 65, backbone_style='caffe')
-    emb = make_embeddings(65, 512)
-    with jax.default_device(jax.local_devices(backend='cpu')[0]):
-        params, stats = DET.init_detector(
-            jax.random.key(0), config, jnp.asarray(emb)
-        )
-    device = jax.local_devices()[0]
-    params = jax.device_put(params, device)
-    stats = jax.device_put(stats, device)
-    anchors = canvas_anchors(config, canvas)
-
-    rng = np.random.default_rng(0)
-    images_u8 = rng.integers(0, 256, (b, *canvas, 3), np.uint8)
-    img_hw = np.asarray([[800.0, 1333.0]] * b, np.float32)
-    images_u8, img_hw = jax.device_put((images_u8, img_hw), device)
-
-    def tsum(tree):
-        return sum(
-            jnp.sum(x.astype(jnp.float32))
-            for x in jax.tree.leaves(tree)
-            if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.number)
-        )
-
-    def timeit(label, fn, *args, n=6):
-        f = jax.jit(fn)
-        np.asarray(f(*args))
-        np.asarray(f(*args))
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = f(*args)
-        np.asarray(out)
-        dt = (time.perf_counter() - t0) / n * 1000
-        print(f'{label:34s} {dt:8.2f} ms/batch', flush=True)
-        return dt
+    config, params, stats, anchors, images_u8, img_hw, device = setup(
+        b, canvas
+    )
 
     def prenms(p, s, u8, hw):
         images = DET.ingest_images(u8, jnp.bfloat16)
