@@ -334,11 +334,52 @@ def multiclass_nms(
             sb, sc_sorted[lo:hi], iou_threshold, tile
         )
 
-    keep = jnp.concatenate([
-        chunk_keep(order[lo:min(lo + class_chunk, c)],
-                   lo, min(lo + class_chunk, c))
-        for lo in range(0, c, class_chunk)
-    ], axis=0)  # (c, n)
+    if c <= class_chunk:
+        keep = chunk_keep(order, 0, c)  # (c, n)
+    else:
+        # Many-class path (OV-LVIS C=1203): roll the uniform chunks
+        # into ONE lax.scan body instead of unrolling ~10 copies of
+        # the blocked fixpoint — the unrolled form compiled in ~333 s
+        # at (C=1203, N=1000, b=2). Classes pad up to a chunk multiple
+        # with NEG_INF scores (not-alive rows keep nothing, so their
+        # garbage gather indices are inert).
+        n_chunks = -(-c // class_chunk)
+        c_pad = n_chunks * class_chunk
+        order_s = jnp.pad(
+            order, ((0, c_pad - c), (0, 0))
+        ).reshape(n_chunks, class_chunk, n)
+        sc_s = jnp.pad(
+            sc_sorted, ((0, c_pad - c), (0, 0)),
+            constant_values=NEG_INF,
+        ).reshape(n_chunks, class_chunk, n)
+        if shared_boxes:
+            def body(_, xs):
+                ok, sk = xs
+                sb = boxes_f32[ok.reshape(-1)].reshape(
+                    class_chunk, n, 4
+                )
+                return None, _sorted_block_nms_lazy(
+                    sb, sk, iou_threshold, tile
+                )
+
+            _, keep = jax.lax.scan(body, None, (order_s, sc_s))
+        else:
+            offs = (
+                jnp.arange(c_pad, dtype=order.dtype) * n
+            ).reshape(n_chunks, class_chunk)
+
+            def body(_, xs):
+                ok, sk, off = xs
+                flat_idx = jnp.minimum(
+                    (ok + off[:, None]).reshape(-1), c * n - 1
+                )  # clamp the padded classes' rows into range
+                sb = cboxes_flat[flat_idx].reshape(class_chunk, n, 4)
+                return None, _sorted_block_nms_lazy(
+                    sb, sk, iou_threshold, tile
+                )
+
+            _, keep = jax.lax.scan(body, None, (order_s, sc_s, offs))
+        keep = keep.reshape(c_pad, n)[:c]
     kept_scores = jnp.where(keep, sc_sorted, NEG_INF)
     k = min(max_per_img, c * n)
     top_sc, top_i = jax.lax.top_k(kept_scores.reshape(-1), k)

@@ -245,6 +245,20 @@ def test_multiclass_nms_per_class_boxes():
     _check_multiclass_vs_oracle(boxes, scores, c, tile=16)
 
 
+def test_multiclass_nms_per_class_boxes_chunked():
+    """Per-class boxes through the many-class lax.scan path (chunk <
+    C, padded tail chunk with clamped gather rows)."""
+    rng = np.random.default_rng(10)
+    n, c = 25, 9
+    xy = rng.uniform(0, 60, (n, c, 2))
+    boxes = np.concatenate([xy, xy + rng.uniform(8, 50, (n, c, 2))], -1)
+    boxes = boxes.reshape(n, c * 4).astype(np.float32)
+    scores = rng.uniform(0, 1, (n, c + 1)).astype(np.float32)
+    _check_multiclass_vs_oracle(
+        boxes, scores, c, tile=8, max_per_img=50, class_chunk=4,
+    )
+
+
 # -- RoIAlign ---------------------------------------------------------------
 
 
