@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..base import Categories
 from ..models import detector as DET
-from ..utils import PthAccessLayer, Store, logger
+from ..utils import PthAccessLayer, Store, logger, replicate_tree
 from .builder import canvas_anchors
 from .coco_eval import CocoEvaluator, ov_coco_summary
 from .datasets import (
@@ -169,27 +169,10 @@ class DetEvaluator:
         return self._jit[canvas]
 
     def _replicate(self, tree):
-        """Replicate the model over the (possibly multi-process) mesh.
-
-        Arrays already on the global mesh (the in-train eval hands over
-        the trainer's carry) pass through untouched. In multi-process,
-        committed single-device arrays (e.g. orbax-restored checkpoints
-        in ``dp.test``) must round-trip through host memory — a direct
-        ``device_put`` to a non-addressable sharding is a cross-host
-        device transfer the CPU/TPU backends refuse.
+        """Replicate the model over the (possibly multi-process) mesh
+        (shared multi-process quirk handling: ``utils.replicate_tree``).
         """
-
-        def put(x):
-            if (
-                isinstance(x, jax.Array)
-                and x.sharding.is_equivalent_to(self.repl, x.ndim)
-            ):
-                return x
-            if jax.process_count() > 1 and isinstance(x, jax.Array):
-                x = np.asarray(x)
-            return jax.device_put(x, self.repl)
-
-        return jax.tree.map(put, tree)
+        return replicate_tree(tree, self.repl)
 
     def run(self, params, stats) -> dict[str, float]:
         results: dict[int, list[dict]] = {}
@@ -347,17 +330,19 @@ class DetEvaluator:
 
     def _gather(
         self,
-        detections: list[dict],
+        payload: list,
         process_index: int | None = None,
         process_count: int | None = None,
         root: pathlib.Path | str | None = None,
         barrier=None,
         timeout_s: float = 600.0,
-    ) -> list[dict] | None:
-        """Multi-host result gather over the shared filesystem (the
-        reference all-gathers python dicts over NCCL,
-        ``oadp/dp/test_nni.py:144-150``; OAKE-style file exchange keeps
-        this backend-free). Single-process: identity. The exchange root
+    ) -> list | None:
+        """Multi-host gather of an arbitrary picklable list over the
+        shared filesystem (the reference all-gathers python objects
+        over NCCL, ``oadp/dp/test_nni.py:144-150``; OAKE-style file
+        exchange keeps this backend-free). ``_metrics`` passes
+        ``(image_id, detections)`` pairs. Single-process: identity.
+        The exchange root
         defaults to the run's ``work_dir`` — the path every rank
         already shares — falling back to ``Store.DUMP`` and only then
         to ``/tmp`` (which is per-host, so a real multi-host run
@@ -376,7 +361,7 @@ class DetEvaluator:
         """
         pc = jax.process_count() if process_count is None else process_count
         if pc == 1:
-            return detections
+            return payload
         pi = jax.process_index() if process_index is None else process_index
         import pickle
         import tempfile
@@ -395,7 +380,7 @@ class DetEvaluator:
         final = root / f'round{rnd:04d}_part_{pi:04d}.pkl'
         tmp = final.with_suffix('.tmp')
         with open(tmp, 'wb') as f:
-            pickle.dump(detections, f)
+            pickle.dump(payload, f)
         os.replace(tmp, final)  # atomic publish
         if barrier is None:
             from jax.experimental import multihost_utils

@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..models import detector as DET
-from ..utils import Config, logger
+from ..utils import Config, logger, replicate_tree
 from . import datasets
 from .builder import DetectorBundle, canvas_anchors
 
@@ -453,15 +453,7 @@ class Trainer:
         # serialized ~25 ms round trip (measured: this shape took the
         # real train CLI from ~13 to the modeled ~17 img/s).
         def repl_put(tree):
-            # multi-process: committed single-device arrays (orbax
-            # restore) can't device_put straight onto a non-addressable
-            # replicated sharding — round-trip through host memory
-            def put(x):
-                if jax.process_count() > 1 and isinstance(x, jax.Array):
-                    x = np.asarray(x)
-                return jax.device_put(x, self.repl)
-
-            return jax.tree.map(put, tree)
+            return replicate_tree(tree, self.repl)
 
         carry = (
             repl_put(state.params),

@@ -314,30 +314,38 @@ def _blocks_fn(
     cdt = _compute_dtype(dtype)
 
     def levels_one(image, lwx, lwy, wwx, wwy):
-        image = image.astype(jnp.float32)
+        imgf = image.astype(jnp.float32)
 
         def scan_body(img, ws):
             nxt = P.apply_resize_pair(
                 img, ws[0], ws[1], compute_dtype=cdt
             )
-            return nxt, nxt
+            # store the level as uint8: every level is round_u8-ed to
+            # exact integers in [0, 255], so the cast is LOSSLESS — and
+            # the stacked levels buffer is the program's largest tensor
+            # (fp32 form: 8.3 GB written + block-gathered per 24-image
+            # batch; uint8 is 4x less HBM traffic). The fp32 carry keeps
+            # the level->level resize chain bit-identical.
+            return nxt, nxt.astype(jnp.uint8)
 
-        _, pyramid = jax.lax.scan(scan_body, image, (lwx, lwy))
-        levels = jnp.concatenate([image[None], pyramid], axis=0)
-        whole = P.apply_resize_pair(image, wwx, wwy, compute_dtype=cdt)
+        _, pyramid = jax.lax.scan(scan_body, imgf, (lwx, lwy))
+        levels = jnp.concatenate(
+            [image.astype(jnp.uint8)[None], pyramid], axis=0
+        )
+        whole = P.apply_resize_pair(imgf, wwx, wwy, compute_dtype=cdt)
         return levels, whole
 
     levels, wholes = jax.vmap(levels_one)(
         images, level_wx, level_wy, whole_wx, whole_wy
-    )  # (B, 1 + L, PH, PW, 3), (B, 224, 224, 3)
+    )  # (B, 1 + L, PH, PW, 3) uint8, (B, 224, 224, 3)
 
     def slice_block(c):
         return jax.lax.dynamic_slice(
             levels, (c[0], c[1], c[2], c[3], 0), (1, 1, 224, 224, 3)
         )[0, 0]
 
-    blocks = jax.vmap(slice_block)(coords)  # (T, 224, 224, 3)
-    crops = jnp.concatenate([wholes, blocks], axis=0)
+    blocks = jax.vmap(slice_block)(coords)  # (T, 224, 224, 3) uint8
+    crops = jnp.concatenate([wholes, blocks.astype(wholes.dtype)], axis=0)
     crops = P.normalize_clip(crops, dtype)
     emb = C.image_encoder(params, crops, config)
     return _l2_normalize(emb)

@@ -73,7 +73,6 @@ def nms(
     pos = jnp.arange(npad)
     alive0 = ssc > NEG_INF / 2
 
-    pair_iou = _pair_iou
     tri = jnp.triu(jnp.ones((tile, tile), bool), k=1)
 
     def outer_body(carry):
@@ -81,7 +80,7 @@ def nms(
         start = t * tile
         tb = jax.lax.dynamic_slice(sboxes, (start, 0), (tile, 4))
         talive = jax.lax.dynamic_slice(alive, (start,), (tile,))
-        m = (pair_iou(tb, tb) > iou_threshold) & tri
+        m = (_pair_iou(tb, tb) > iou_threshold) & tri
 
         # Fixpoint of the triangular suppression recurrence. The plain
         # iteration k <- talive & ~suppressed_by(k) is an ANTITONE map:
@@ -106,7 +105,7 @@ def nms(
         )
         keep = jax.lax.dynamic_update_slice(keep, k, (start,))
         sup_later = (
-            jnp.any((pair_iou(tb, sboxes) > iou_threshold) & k[:, None],
+            jnp.any((_pair_iou(tb, sboxes) > iou_threshold) & k[:, None],
                     axis=0)
             & (pos >= start + tile)
         )

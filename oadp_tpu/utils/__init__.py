@@ -1,5 +1,5 @@
 from .config import Config, DictAction, parse_override
-from .dist import maybe_initialize_distributed
+from .dist import maybe_initialize_distributed, replicate_tree
 from .logging import (
     add_file_handler,
     enable_compilation_cache,
@@ -13,6 +13,7 @@ __all__ = [
     'DictAction',
     'parse_override',
     'maybe_initialize_distributed',
+    'replicate_tree',
     'add_file_handler',
     'enable_compilation_cache',
     'logger',

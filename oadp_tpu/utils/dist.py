@@ -16,11 +16,34 @@ and CPU development setups stay untouched — mirroring the reference's
 "CPU mode = no backend" branch (``oadp/dp/train.py:65-68``).
 """
 
-__all__ = ['maybe_initialize_distributed']
+__all__ = ['maybe_initialize_distributed', 'replicate_tree']
 
 import os
 
 _initialized = False
+
+
+def replicate_tree(tree, sharding):
+    """``device_put`` every leaf onto a replicated ``NamedSharding``,
+    handling the multi-process quirk in ONE place (trainer + evaluator
+    both need it): committed single-device arrays (e.g. orbax-restored
+    checkpoints) cannot ``device_put`` directly onto a non-addressable
+    sharding — the CPU/TPU backends refuse the implied cross-host
+    transfer — so they round-trip through host memory first. Leaves
+    already laid out equivalently to ``sharding`` pass through
+    untouched (the in-train eval hands over the trainer's live carry)."""
+    import jax
+    import numpy as np
+
+    def put(x):
+        if isinstance(x, jax.Array):
+            if x.sharding.is_equivalent_to(sharding, x.ndim):
+                return x
+            if jax.process_count() > 1:
+                x = np.asarray(x)
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, tree)
 
 
 def maybe_initialize_distributed() -> bool:

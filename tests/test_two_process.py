@@ -84,26 +84,33 @@ log = dict(interval=4)
 
     def launch() -> list[str]:
         port = _free_port()
+        # per-rank output goes to FILES, not PIPEs: the ranks run
+        # collectives in lockstep, and an undrained 64 KB pipe on the
+        # rank we are not currently communicate()-ing with would block
+        # its writes — deadlocking both ranks until the timeout
+        logs = [tmp_path / f'rank{pid}.log' for pid in range(2)]
+        handles = [open(log, 'w') for log in logs]
         procs = [
             subprocess.Popen(
                 [
                     sys.executable, worker, str(pid), str(port), REPO,
                     str(tmp_path), str(cfg),
                 ],
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                stdout=h, stderr=subprocess.STDOUT,
                 text=True, env=env, cwd=REPO,
             )
-            for pid in range(2)
+            for pid, h in enumerate(handles)
         ]
-        outs = []
         try:
             for p in procs:
-                out, _ = p.communicate(timeout=1500)
-                outs.append(out)
+                p.wait(timeout=1500)
         finally:
             for p in procs:
                 if p.poll() is None:
                     p.kill()
+            for h in handles:
+                h.close()
+        outs = [log.read_text() for log in logs]
         for pid, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, (
                 f'rank {pid} failed (rc={p.returncode}):\n{out[-4000:]}'

@@ -86,9 +86,10 @@ def main() -> None:
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     canvas = (832, 1344)
-    config, params, stats, anchors, images_u8, img_hw, _ = setup(
+    config, params, stats, anchors, images_u8, img_hw, device = setup(
         b, canvas
     )
+    rng = np.random.default_rng(0)
 
     def f_ingest(u8):
         return tsum(DET.ingest_images(u8, jnp.bfloat16))
