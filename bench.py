@@ -1,6 +1,11 @@
-"""Benchmark: OAKE extraction + DP train-step throughput per chip.
+"""Benchmark: OAKE extraction + DP train/inference throughput per chip.
 
-Line 1 (primary, same metric as round 1): the end-to-end OAKE-objects
+Output contract: one JSON line per metric; the PRIMARY metric
+(``oake_images_per_sec_per_chip``) prints LAST with a compact
+``summary`` of all the others embedded, because the driver parses the
+final JSON line (see ``main``).
+
+The primary metric (same since round 1): the end-to-end OAKE-objects
 device pipeline — masked attention-pool CLIP encoder with fused
 on-device crop/resize/normalize (reference hot loop:
 ``oadp/oake/objects.py:316-338`` + per-crop PIL preprocessing) plus the
@@ -25,21 +30,35 @@ reported (``baseline_inline``) for drift auditing. The conservative
 round-1 comparison against a flat 1.0 img/s/GPU is kept as
 ``vs_1_imgs_est``.
 
-Line 2 (blocks), line 3 (DP inference: the full calibrated
-``simple_test`` path incl. class-parallel multiclass NMS and the
-evaluator's packed single-leaf fetch), line 4: the DP train step — full
-OADP detector (ResNet50+FPN+RPN+RCNN + OV heads, all losses +
-torch-SGD update) at the production geometry (batch 2, 832x1344,
-bf16), images/sec/chip. Reference schedule context:
-``configs/dp/schedules/40k.py``. Baseline: the reference trains OV-COCO
-at 16 images/iter across 8 GPUs with iteration times ~1.2 s (mmdet
-Faster R-CNN-class workloads on V100) => ~1.7 img/s/GPU.
+Secondary metrics (printed first, each its own verbose line): blocks;
+DP inference (the full calibrated ``simple_test`` path incl.
+class-parallel multiclass NMS and the evaluator's packed single-leaf
+fetch); OV-LVIS inference (C=1203 + mask head, the scan-chunked NMS
+path); and the DP train step — full OADP detector (ResNet50+FPN+RPN+
+RCNN + OV heads, all losses + torch-SGD update) at the production
+geometry (batch 2, 832x1344, bf16), images/sec/chip. Reference schedule
+context: ``configs/dp/schedules/40k.py``. DP-train baseline: the
+reference trains OV-COCO at 16 images/iter across 8 GPUs with iteration
+times ~1.2 s (mmdet Faster R-CNN-class workloads on V100)
+=> ~1.7 img/s/GPU.
 """
 
 import json
+import os
 import pathlib
 import sys
 import time
+
+# The persisted compilation cache replays CPU AOT executables compiled
+# on a different machine type; XLA then prints ~2 kB of machine-feature
+# E-warnings PER LOAD to stderr — in rounds 2-4 exactly these warnings
+# ate the driver's 2000-char output tail and lost the recorded metrics.
+# Best-effort hush (measured: cpu_aot_loader's LOG(ERROR) IGNORES this
+# env var, so it does not actually silence those lines) — the real
+# guarantee is main()'s ordering: every warning is emitted during
+# compile/load, strictly BEFORE the final primary JSON line prints, so
+# the tail always ends with the parseable primary metric.
+os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '3')
 
 import numpy as np
 
@@ -390,6 +409,31 @@ def bench_dp_train() -> dict:
     }
 
 
+def bench_dp_lvis_inference() -> dict:
+    """OV-LVIS inference: the C=1203 production eval workload (Mask
+    R-CNN head + ViLD temps + scan-chunked class-parallel NMS,
+    reference ``configs/dp/oadp_ov_lvis.py`` + ``oadp/dp/test.py``) —
+    first-class so regressions in the many-class scan path are
+    driver-visible (VERDICT r4 item 5). Baseline: mmdet Mask R-CNN
+    ``single_gpu_test`` rates on V100 are ~4-6 img/s/GPU at 1333x800
+    (the 1203-class NMS makes LVIS the slow end of that class); 5.0 is
+    the midpoint (estimated — the reference publishes no throughput
+    numbers)."""
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from tools.measure_inference import measure
+    out = measure(b=2, n=10, windows=3, lvis=True)
+    baseline = 5.0
+    out.update(
+        vs_baseline=round(out['value'] / baseline, 3),
+        baseline=baseline,
+        baseline_kind='estimated (mmdet Mask R-CNN single_gpu_test '
+                      'LVIS-class rate on V100, 4-6 img/s/GPU '
+                      'midpoint; no measured reference ceiling '
+                      'available)',
+    )
+    return out
+
+
 def bench_dp_inference() -> dict:
     """DP inference (``simple_test``): full calibrated test path at the
     production eval geometry, the evaluator's packed single-leaf fetch
@@ -414,21 +458,67 @@ def bench_dp_inference() -> dict:
 
 
 def main() -> None:
+    """Print one JSON line per metric, the PRIMARY metric LAST.
+
+    The driver records the LAST JSON line as the round's parsed result
+    plus a ~2000-char output tail; rounds 2-4 printed the primary OAKE
+    line first and the official record never saw it (VERDICT r4 item 1).
+    Secondary metrics print (verbose) as they complete; the final line
+    is the compact primary ``oake_images_per_sec_per_chip`` with a
+    ``summary`` of every other metric embedded, so the one parsed line
+    carries the whole round even if warnings eat the rest of the tail.
+    """
     from oadp_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    print(json.dumps(bench_oake()), flush=True)
-    for fn, metric in (
-        (bench_blocks, 'oake_blocks_images_per_sec_per_chip'),
-        (bench_dp_inference, 'dp_inference_images_per_sec_per_chip'),
-        (bench_dp_train, 'dp_train_images_per_sec_per_chip'),
+    summary: dict[str, dict] = {}
+    for fn, metric, short in (
+        (bench_blocks, 'oake_blocks_images_per_sec_per_chip', 'blocks'),
+        (bench_dp_inference, 'dp_inference_images_per_sec_per_chip',
+         'dp_infer'),
+        (bench_dp_lvis_inference,
+         'dp_lvis_inference_images_per_sec_per_chip', 'lvis_infer'),
+        (bench_dp_train, 'dp_train_images_per_sec_per_chip', 'dp_train'),
     ):
         try:  # secondary metrics must not kill the primary
-            print(json.dumps(fn()), flush=True)
+            out = fn()
+            print(json.dumps(out), flush=True)
+            summary[short] = {
+                'v': out['value'], 'x': out.get('vs_baseline'),
+            }
         except Exception as e:
             print(json.dumps({
                 'metric': metric, 'error': str(e)[:200],
             }), flush=True)
+            summary[short] = {'error': str(e)[:80]}
+
+    try:
+        oake = bench_oake()
+    except Exception as e:  # still emit a parseable final line
+        print(json.dumps({
+            'metric': 'oake_images_per_sec_per_chip',
+            'error': str(e)[:200], 'summary': summary,
+        }), flush=True)
+        return
+    # verbose diagnostics on their own (non-final) line ...
+    detail = dict(oake, metric='oake_images_per_sec_per_chip_detail')
+    print(json.dumps(detail), flush=True)
+    # ... and the compact primary line LAST (what the driver parses).
+    # The >=5x target (BASELINE.json) is defined on the OAKE metric
+    # against its PINNED measured baseline; the secondary ratios divide
+    # by literature estimates and are reported, not targeted.
+    print(json.dumps({
+        'metric': 'oake_images_per_sec_per_chip',
+        'value': oake['value'],
+        'unit': oake['unit'],
+        'vs_baseline': oake['vs_baseline'],
+        'baseline': oake['baseline'],
+        'baseline_kind': 'PINNED measured reference host-prep ceiling '
+                         '(tools/pinned_baselines.json)',
+        'runs': oake['runs'],
+        'summary': summary,
+        'oake_vs_baseline_ge_5x': oake['vs_baseline'] >= 5.0,
+    }), flush=True)
 
 
 if __name__ == '__main__':

@@ -233,6 +233,14 @@ class DetEvaluator:
         if self._dump is not None:
             logger.info('DUMP mode: wrote %d records, skipping metrics',
                         len(results))
+            if jax.process_count() > 1:
+                # ranks finish writing at different times — barrier so a
+                # driver chaining dp.test straight into calibration on
+                # rank 0 never reads a store other ranks are still
+                # writing
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices('dump_complete')
             return {}
         return self._metrics(results)
 

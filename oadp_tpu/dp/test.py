@@ -55,6 +55,22 @@ def main(argv=None) -> dict:
         bundle.stats = restored['stats']
         logger.info('loaded checkpoint %s', args.checkpoint)
 
+    # Multi-host eval needs a gather root every rank shares: without a
+    # checkpoint (work_dir None) and without DUMP, DetEvaluator._gather
+    # would fall through to per-host /tmp, stranding non-rank-0 parts
+    # until the 600 s timeout. Fail fast with the fix instead.
+    if (
+        jax.process_count() > 1
+        and (not args.checkpoint or args.checkpoint == 'none')
+        and not Store.DUMP
+    ):
+        raise SystemExit(
+            'multi-process dp.test without a checkpoint has no shared '
+            'gather root: pass a checkpoint path on a filesystem all '
+            'ranks share (its directory becomes the exchange root, as '
+            'dp.train\'s work_dirs/<name> is), or set DUMP=<shared dir>'
+        )
+
     val_cfg = config.validator.dataloader.dataset
     dataset = CocoDetDataset(
         val_cfg.ann_file, val_cfg.img_prefix, Globals.categories,

@@ -99,7 +99,19 @@ def rescore(
 
 
 class CalibrationRunner:
-    """Loads all DUMP records once; evaluates many parameter settings."""
+    """Loads all DUMP records once; evaluates many parameter settings.
+
+    Memory model: records are held as dense host arrays of
+    ``m x max_proposals x (num_all + 1)`` fp32 — ~2.6 GB for the OV-COCO
+    val split (4952 images, C=65), which is the ONLY dataset the
+    reference ever sweeps (``oadp/dp/test_nni.py`` reports
+    ``COCO_48_bbox_mAP_50``). OV-LVIS-scale dumps (~20k images, C=1203)
+    would need ~100 GB, so :meth:`__init__` fails fast when the dense
+    buffers would exceed ``memory_budget_gb`` (default 16, override via
+    the kwarg or ``OADP_CALIBRATE_MEM_GB``) instead of OOM-killing the
+    host mid-load; a sweep at that scale needs a streamed/sharded
+    re-scorer, which the reference does not have either.
+    """
 
     def __init__(
         self,
@@ -107,6 +119,7 @@ class CalibrationRunner:
         dump_root: str,
         batch_size: int = 32,
         max_proposals: int = 1000,
+        memory_budget_gb: float | None = None,
     ) -> None:
         categories = {'coco': coco, 'lvis': lvis}[config.categories]
         Globals.categories = categories
@@ -128,6 +141,22 @@ class CalibrationRunner:
         n = max_proposals
         k1 = categories.num_all + 1
         m = len(keys)
+        if memory_budget_gb is None:
+            import os
+            memory_budget_gb = float(
+                os.environ.get('OADP_CALIBRATE_MEM_GB', '16')
+            )
+        # bboxes(4) + 2 logit planes(k1 each) + objectness(1), fp32
+        need_gb = m * n * (2 * k1 + 5) * 4 / 1e9
+        if need_gb > memory_budget_gb:
+            raise SystemExit(
+                f'calibration would hold {need_gb:.1f} GB of dense '
+                f'record arrays ({m} images x {n} proposals x '
+                f'C+1={k1}) — over the {memory_budget_gb:.0f} GB budget.'
+                ' The reference only ever sweeps OV-COCO val (~2.6 GB);'
+                ' for larger dumps raise OADP_CALIBRATE_MEM_GB, pass a'
+                ' smaller max_proposals, or sweep a record subset.'
+            )
         self.image_ids = [int(k) for k in keys]
         self.bboxes = np.zeros((m, n, 4), np.float32)
         self.bbox_logits = np.full((m, n, k1), -1e4, np.float32)

@@ -10,6 +10,7 @@ boundary as numpy arrays, and nothing else in the framework imports torch.
 
 __all__ = ['save_pth', 'load_pth', 'PthAccessLayer']
 
+import os
 import pathlib
 from typing import Any, Iterator, Mapping
 
@@ -39,12 +40,19 @@ def _to_numpy(value: Any):
 
 
 def save_pth(obj: Any, path: str | pathlib.Path) -> None:
-    """Atomically write ``obj`` (numpy arrays become torch tensors)."""
+    """Atomically write ``obj`` (numpy arrays become torch tensors).
+
+    The temp name is unique per writer PROCESS: in multi-process DUMP
+    mode the loader's batch-count padding can hand the same image to two
+    ranks, and a shared fixed ``.tmp`` path would let their writes
+    interleave before the rename — with per-pid temps the last atomic
+    ``os.replace`` wins and the published file is always intact.
+    """
     import torch
     path = pathlib.Path(path)
-    tmp = path.with_suffix(path.suffix + '.tmp')
+    tmp = path.with_name(f'{path.name}.{os.getpid()}.tmp')
     torch.save(_to_torch(obj), tmp)
-    tmp.replace(path)
+    os.replace(tmp, path)
 
 
 def load_pth(path: str | pathlib.Path) -> Any:

@@ -22,7 +22,9 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def measure(b: int = 2, n: int = 10, windows: int = 3) -> dict:
+def measure(
+    b: int = 2, n: int = 10, windows: int = 3, lvis: bool = False
+) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -34,8 +36,20 @@ def measure(b: int = 2, n: int = 10, windows: int = 3) -> dict:
     from oadp_tpu.models import detector as DET
     canvas = (832, 1344)  # the landscape eval canvas (dp/evaluator.py)
     emb_dim = 512
-    config = DET.DetectorConfig.build(48, 65, backbone_style='caffe')
-    emb = make_embeddings(65, emb_dim)
+    if lvis:
+        # the OV-LVIS production eval workload (reference
+        # configs/dp/oadp_ov_lvis.py): Mask R-CNN head, ViLD classifier
+        # temps, C=1203 class-parallel NMS via the lax.scan chunk path
+        config = DET.DetectorConfig.build(
+            866, 1203, with_mask=True, backbone_style='caffe',
+            head_cls_mode='vild',
+            vild_scaler_train=0.01, vild_scaler_val=0.007,
+            global_vild_scaler=(0.007, 0.01),
+        )
+        emb = make_embeddings(1203, emb_dim)
+    else:
+        config = DET.DetectorConfig.build(48, 65, backbone_style='caffe')
+        emb = make_embeddings(65, emb_dim)
     with jax.default_device(jax.local_devices(backend='cpu')[0]):
         params, stats = DET.init_detector(
             jax.random.key(0), config, jnp.asarray(emb)
@@ -62,11 +76,14 @@ def measure(b: int = 2, n: int = 10, windows: int = 3) -> dict:
         )
         # the evaluator's packed single-leaf fetch (dp/evaluator._fn):
         # one tunnel round trip per batch instead of one per leaf
-        return jnp.concatenate([
+        res = {'packed': jnp.concatenate([
             jnp.asarray(out['dets'], jnp.float32),
             jnp.asarray(out['labels'], jnp.float32)[..., None],
             jnp.asarray(out['valid'], jnp.float32)[..., None],
-        ], -1)
+        ], -1)}
+        if out.get('masks') is not None:  # LVIS: fp16 mask stream
+            res['masks'] = out['masks'].astype(jnp.float16)
+        return res
 
     fn = jax.jit(run)
 
@@ -91,12 +108,15 @@ def measure(b: int = 2, n: int = 10, windows: int = 3) -> dict:
         return n * b / (time.perf_counter() - t0)
 
     runs = [round(timed_run(), 3) for _ in range(windows)]
+    name = 'dp_lvis_inference' if lvis else 'dp_inference'
+    desc = ('C=1203 calibrated ensemble + scan-chunked multiclass NMS '
+            '+ mask head' if lvis else
+            'calibrated ensemble + class-parallel multiclass NMS')
     return {
-        'metric': 'dp_inference_images_per_sec_per_chip',
+        'metric': f'{name}_images_per_sec_per_chip',
         'value': max(runs),
         'unit': f'images/sec/chip (simple_test, batch {b}, '
-                f'{canvas[0]}x{canvas[1]}, bf16, calibrated ensemble + '
-                f'class-parallel multiclass NMS)',
+                f'{canvas[0]}x{canvas[1]}, bf16, {desc})',
         'runs': runs,
         'compile_s': round(compile_s, 1),
     }
@@ -104,7 +124,7 @@ def measure(b: int = 2, n: int = 10, windows: int = 3) -> dict:
 
 def main() -> None:
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    print(json.dumps(measure(b)), flush=True)
+    print(json.dumps(measure(b, lvis='--lvis' in sys.argv)), flush=True)
 
 
 if __name__ == '__main__':
