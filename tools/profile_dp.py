@@ -125,6 +125,17 @@ def main() -> None:
 
     timeit(f'RoIAlign packed ({n_rois} rois/img)', f_align, pyramid, rois)
 
+    @jax.jit
+    def f_align_grad(pyr, rr):
+        def loss_fn(py):
+            return tsum(DET._roi_feats(py, rr))
+
+        total, grads = jax.value_and_grad(loss_fn)(pyr)
+        return total + tsum(grads)
+
+    timeit('RoIAlign fwd+bwd (scatter into pyramid)', f_align_grad,
+           pyramid, rois)
+
     packed = jax.jit(DET._roi_feats)(pyramid, rois)
     np.asarray(packed[:1, :1, :1, :1, :4])
     flat_bbox = jax.jit(
@@ -193,6 +204,21 @@ def main() -> None:
         ))
 
     timeit('rpn_loss alone', f_rpn_loss, scores, deltas)
+
+    @jax.jit
+    def f_rpn_loss_grad(sc, dl):
+        def loss_fn(args):
+            sc2, dl2 = args
+            return tsum(RPN.rpn_loss(
+                key, list(sc2), list(dl2), anc_cat,
+                batch['gt_boxes'], batch['gt_valid'], batch['img_hw'],
+                config.rpn_samples, config.rpn_pos_fraction,
+            ))
+
+        total, grads = jax.value_and_grad(loss_fn)((scores, deltas))
+        return total + tsum(grads)
+
+    timeit('rpn_loss fwd+bwd', f_rpn_loss_grad, scores, deltas)
 
     @jax.jit
     def f_rpn_props(sc, dl):
