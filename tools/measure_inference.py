@@ -93,7 +93,16 @@ def measure(
     t0 = time.perf_counter()
     sync(fn(params, stats, batch))  # compile
     compile_s = time.perf_counter() - t0
-    sync(fn(params, stats, batch))  # warm
+    # Warm UNTIMED half-window: one warm dispatch is not enough to
+    # stabilize the first timed window (r4 BENCH runs opened 20% cold:
+    # [34.7, 43.5, 43.4]; the r5 LVIS line opened [10.6, 13.9, 13.7]) —
+    # the tunnel + device need a few back-to-back dispatches to ramp.
+    pending = fn(params, stats, batch)
+    for _ in range(max(2, n // 2 - 1)):
+        nxt = fn(params, stats, batch)
+        sync(pending)
+        pending = nxt
+    sync(pending)
 
     def timed_run() -> float:
         # dispatch-then-fetch-previous, one in flight (the evaluator's
