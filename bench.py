@@ -33,7 +33,7 @@ round-1 comparison against a flat 1.0 img/s/GPU is kept as
 Secondary metrics (printed first, each its own verbose line): blocks;
 DP inference (the full calibrated ``simple_test`` path incl.
 class-parallel multiclass NMS and the evaluator's packed single-leaf
-fetch); OV-LVIS inference (C=1203 + mask head, the scan-chunked NMS
+fetch); OV-LVIS inference (C=1203 + mask head, the many-class NMS
 path); and the DP train step — full OADP detector (ResNet50+FPN+RPN+
 RCNN + OV heads, all losses + torch-SGD update) at the production
 geometry (batch 2, 832x1344, bf16), images/sec/chip. Reference schedule
@@ -411,7 +411,7 @@ def bench_dp_train() -> dict:
 
 def bench_dp_lvis_inference() -> dict:
     """OV-LVIS inference: the C=1203 production eval workload (Mask
-    R-CNN head + ViLD temps + scan-chunked class-parallel NMS,
+    R-CNN head + ViLD temps + single-chunk class-parallel NMS,
     reference ``configs/dp/oadp_ov_lvis.py`` + ``oadp/dp/test.py``) —
     first-class so regressions in the many-class scan path are
     driver-visible (VERDICT r4 item 5). Baseline: mmdet Mask R-CNN

@@ -39,7 +39,7 @@ def measure(
     if lvis:
         # the OV-LVIS production eval workload (reference
         # configs/dp/oadp_ov_lvis.py): Mask R-CNN head, ViLD classifier
-        # temps, C=1203 class-parallel NMS via the lax.scan chunk path
+        # temps, C=1203 single-chunk class-parallel NMS
         config = DET.DetectorConfig.build(
             866, 1203, with_mask=True, backbone_style='caffe',
             head_cls_mode='vild',
@@ -118,7 +118,7 @@ def measure(
 
     runs = [round(timed_run(), 3) for _ in range(windows)]
     name = 'dp_lvis_inference' if lvis else 'dp_inference'
-    desc = ('C=1203 calibrated ensemble + scan-chunked multiclass NMS '
+    desc = ('C=1203 calibrated ensemble + single-chunk class-parallel NMS '
             '+ mask head' if lvis else
             'calibrated ensemble + class-parallel multiclass NMS')
     return {

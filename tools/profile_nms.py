@@ -5,7 +5,10 @@ blocked fixpoint) vs the shipped lazy-IoU form — an A/B record.
 Measured (v5e via axon, amortized over 6 batches): matrix form through
 the fixpoint 12.4 ms/batch; full lazy multiclass_nms (incl. top-k)
 9.5 ms/batch. At the OV-LVIS geometry (C=1203) single-dispatch probes
-measured 86.5 vs 61 ms/image.
+measured 86.5 vs 61 ms/image. (Numbers above are at the r4 default
+tile=256; the r5 tile sweep in ``tools/profile_nms_lvis.py`` moved the
+production default to tile=64 — the lazy-vs-matrix verdict here is
+tile-independent.)
 """
 
 import pathlib
