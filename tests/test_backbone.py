@@ -132,3 +132,51 @@ def test_bn_train_mode_updates_stats():
         0.9 + 0.1 * xf.var((0, 1, 2)) * n / (n - 1),
         atol=1e-5,
     )
+
+
+def test_conv_bn_eval_fold_gradient_equivalence():
+    """The eval-BN conv-fold (``resnet._conv_bn_eval``) must be an
+    exact reparameterization: values AND gradients w.r.t. the conv
+    weight and the (trainable) BN affine match the explicit
+    conv -> eval-mode batch_norm composition."""
+    from oadp_tpu.models.layers import batch_norm, conv
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, 5)).astype(np.float32))
+    cot = jnp.asarray(
+        rng.standard_normal((2, 5, 6, 4)).astype(np.float32)
+    )
+    cp = {'w': jnp.asarray(
+        rng.standard_normal((3, 3, 5, 4)).astype(np.float32) * 0.2
+    )}
+    bp = {
+        'scale': jnp.asarray(
+            rng.uniform(0.5, 1.5, 4).astype(np.float32)
+        ),
+        'bias': jnp.asarray(rng.standard_normal(4).astype(np.float32)),
+    }
+    bs = {
+        'mean': jnp.asarray(rng.standard_normal(4).astype(np.float32)),
+        'var': jnp.asarray(rng.uniform(0.2, 2.0, 4).astype(np.float32)),
+    }
+
+    def folded(cp, bp):
+        return jnp.sum(
+            RN._conv_bn_eval(x, cp, bp, bs, stride=2, padding=1) * cot
+        )
+
+    def unfolded(cp, bp):
+        out = conv(x, cp, stride=2, padding=1)
+        out, _ = batch_norm(out, bp, bs, train=False)
+        return jnp.sum(out * cot)
+
+    vf, (gcf, gbf) = jax.value_and_grad(folded, argnums=(0, 1))(cp, bp)
+    vu, (gcu, gbu) = jax.value_and_grad(unfolded, argnums=(0, 1))(cp, bp)
+    np.testing.assert_allclose(float(vf), float(vu), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gcf['w']), np.asarray(gcu['w']), rtol=1e-4, atol=1e-5
+    )
+    for k in ('scale', 'bias'):
+        np.testing.assert_allclose(
+            np.asarray(gbf[k]), np.asarray(gbu[k]), rtol=1e-4, atol=1e-5
+        )
